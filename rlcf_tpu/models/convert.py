@@ -1,0 +1,174 @@
+"""Torch checkpoint -> JAX pytree converters.
+
+``convert_clip_state_dict`` ingests an OpenAI CLIP state dict (the layout that
+``build_model`` consumes, `TPT/clip/model.py:399-438`) and emits the param
+pytree used by :mod:`rlcf_tpu.models.clip`. Weight-layout changes:
+
+- torch Linear weights are [out, in]; ours are [in, out] (transposed).
+- attention in_proj (q;k;v stacked rows) becomes a fused [D, 3D] ``qkv_w``.
+- convs go OIHW -> HWIO (NHWC kernels).
+- per-layer transformer tensors are stacked along a leading layer axis for
+  ``lax.scan`` traversal.
+
+Also provides loaders for checkpoints saved by torch (``load_torch_file``),
+used for OpenAI .pt archives, CoOp prompt checkpoints, and CapDec/ClipCap
+mapper checkpoints.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from .clip import ClipConfig, infer_arch_from_state_dict
+
+
+def _np(t, dtype=None):
+    if hasattr(t, "detach"):
+        t = t.detach().cpu()
+        if t.dtype.is_floating_point and t.dtype not in (None,):
+            t = t.float()
+        t = t.numpy()
+    arr = np.asarray(t)
+    if dtype is not None and np.issubdtype(arr.dtype, np.floating):
+        arr = arr.astype(dtype)
+    return arr
+
+
+def load_torch_file(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint (eager or TorchScript archive) as numpy arrays."""
+    import torch
+
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    except Exception:
+        obj = torch.jit.load(path, map_location="cpu").state_dict()
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: _np(v) for k, v in obj.items() if hasattr(v, "shape")}
+
+
+def _stack_transformer_blocks(sd, prefix: str, n_layers: int, dtype):
+    """Stack ``{prefix}.resblocks.{i}.*`` tensors into scan-ready arrays."""
+    get = lambda i, name: _np(sd[f"{prefix}.resblocks.{i}.{name}"], dtype)
+    stack = lambda name, transform=lambda x: x: jnp.asarray(
+        np.stack([transform(get(i, name)) for i in range(n_layers)])
+    )
+    T = np.transpose
+    return {
+        "ln1_w": stack("ln_1.weight"),
+        "ln1_b": stack("ln_1.bias"),
+        "qkv_w": stack("attn.in_proj_weight", T),
+        "qkv_b": stack("attn.in_proj_bias"),
+        "out_w": stack("attn.out_proj.weight", T),
+        "out_b": stack("attn.out_proj.bias"),
+        "ln2_w": stack("ln_2.weight"),
+        "ln2_b": stack("ln_2.bias"),
+        "fc_w": stack("mlp.c_fc.weight", T),
+        "fc_b": stack("mlp.c_fc.bias"),
+        "proj_w": stack("mlp.c_proj.weight", T),
+        "proj_b": stack("mlp.c_proj.bias"),
+    }
+
+
+def _conv_hwio(w):
+    return jnp.asarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _bn(sd, prefix, dtype):
+    return {
+        "w": jnp.asarray(_np(sd[f"{prefix}.weight"], dtype)),
+        "b": jnp.asarray(_np(sd[f"{prefix}.bias"], dtype)),
+        "mean": jnp.asarray(_np(sd[f"{prefix}.running_mean"], np.float32)),
+        "var": jnp.asarray(_np(sd[f"{prefix}.running_var"], np.float32)),
+    }
+
+
+def _convert_vit_visual(sd, cfg: ClipConfig, dtype):
+    return {
+        "conv_w": _conv_hwio(_np(sd["visual.conv1.weight"], dtype)),
+        "class_emb": jnp.asarray(_np(sd["visual.class_embedding"], dtype)),
+        "pos_emb": jnp.asarray(_np(sd["visual.positional_embedding"], dtype)),
+        "ln_pre_w": jnp.asarray(_np(sd["visual.ln_pre.weight"], dtype)),
+        "ln_pre_b": jnp.asarray(_np(sd["visual.ln_pre.bias"], dtype)),
+        "blocks": _stack_transformer_blocks(sd, "visual.transformer", cfg.vision_layers, dtype),
+        "ln_post_w": jnp.asarray(_np(sd["visual.ln_post.weight"], dtype)),
+        "ln_post_b": jnp.asarray(_np(sd["visual.ln_post.bias"], dtype)),
+        "proj": jnp.asarray(_np(sd["visual.proj"], dtype)),
+    }
+
+
+def _convert_resnet_visual(sd, cfg: ClipConfig, dtype):
+    stem = {
+        "conv1_w": _conv_hwio(_np(sd["visual.conv1.weight"], dtype)),
+        "bn1": _bn(sd, "visual.bn1", dtype),
+        "conv2_w": _conv_hwio(_np(sd["visual.conv2.weight"], dtype)),
+        "bn2": _bn(sd, "visual.bn2", dtype),
+        "conv3_w": _conv_hwio(_np(sd["visual.conv3.weight"], dtype)),
+        "bn3": _bn(sd, "visual.bn3", dtype),
+    }
+    groups = []
+    for g, n_blocks in enumerate(cfg.vision_layers, start=1):
+        blocks = []
+        for b in range(n_blocks):
+            pre = f"visual.layer{g}.{b}"
+            block = {
+                "conv1_w": _conv_hwio(_np(sd[f"{pre}.conv1.weight"], dtype)),
+                "bn1": _bn(sd, f"{pre}.bn1", dtype),
+                "conv2_w": _conv_hwio(_np(sd[f"{pre}.conv2.weight"], dtype)),
+                "bn2": _bn(sd, f"{pre}.bn2", dtype),
+                "conv3_w": _conv_hwio(_np(sd[f"{pre}.conv3.weight"], dtype)),
+                "bn3": _bn(sd, f"{pre}.bn3", dtype),
+            }
+            if f"{pre}.downsample.0.weight" in sd:
+                block["downsample"] = {
+                    "conv_w": _conv_hwio(_np(sd[f"{pre}.downsample.0.weight"], dtype)),
+                    "bn": _bn(sd, f"{pre}.downsample.1", dtype),
+                }
+            blocks.append(block)
+        groups.append(blocks)
+    ap = "visual.attnpool"
+    T = np.transpose
+    attnpool = {
+        "pos_emb": jnp.asarray(_np(sd[f"{ap}.positional_embedding"], dtype)),
+        "q_w": jnp.asarray(T(_np(sd[f"{ap}.q_proj.weight"], dtype))),
+        "q_b": jnp.asarray(_np(sd[f"{ap}.q_proj.bias"], dtype)),
+        "k_w": jnp.asarray(T(_np(sd[f"{ap}.k_proj.weight"], dtype))),
+        "k_b": jnp.asarray(_np(sd[f"{ap}.k_proj.bias"], dtype)),
+        "v_w": jnp.asarray(T(_np(sd[f"{ap}.v_proj.weight"], dtype))),
+        "v_b": jnp.asarray(_np(sd[f"{ap}.v_proj.bias"], dtype)),
+        "c_w": jnp.asarray(T(_np(sd[f"{ap}.c_proj.weight"], dtype))),
+        "c_b": jnp.asarray(_np(sd[f"{ap}.c_proj.bias"], dtype)),
+    }
+    return {"stem": stem, "groups": groups, "attnpool": attnpool}
+
+
+def convert_clip_state_dict(sd: Dict, dtype=np.float32):
+    """Convert a torch CLIP state dict -> (params pytree, inferred ClipConfig)."""
+    sd = {k: v for k, v in sd.items() if k not in ("input_resolution", "context_length", "vocab_size")}
+    shapes = {k: tuple(v.shape) for k, v in sd.items()}
+    cfg = infer_arch_from_state_dict(shapes)
+    visual = _convert_vit_visual(sd, cfg, dtype) if cfg.is_vit else _convert_resnet_visual(sd, cfg, dtype)
+    params = {
+        "visual": visual,
+        "text": {
+            "token_embedding": jnp.asarray(_np(sd["token_embedding.weight"], dtype)),
+            "positional_embedding": jnp.asarray(_np(sd["positional_embedding"], dtype)),
+            "blocks": _stack_transformer_blocks(sd, "transformer", cfg.text_layers, dtype),
+            "ln_final_w": jnp.asarray(_np(sd["ln_final.weight"], dtype)),
+            "ln_final_b": jnp.asarray(_np(sd["ln_final.bias"], dtype)),
+            "projection": jnp.asarray(_np(sd["text_projection"], dtype)),
+        },
+        "logit_scale": jnp.asarray(_np(sd["logit_scale"], np.float32)),
+    }
+    return params, cfg
+
+
+def load_clip_checkpoint(path: str, dtype=np.float32):
+    """Load an OpenAI CLIP .pt checkpoint into (params, config)."""
+    return convert_clip_state_dict(load_torch_file(path), dtype=dtype)
