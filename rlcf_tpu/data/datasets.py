@@ -1,0 +1,216 @@
+"""Dataset loaders producing numpy batches for the episode stream.
+
+Covers the reference's classification data plumbing (`TPT/data/datautils.py`,
+`TPT/data/fewshot_datasets.py`): directory-per-class ImageFolder layouts for
+ImageNet and its OOD variants (with the ImageNet-C corruption/level subpath),
+Zhou-split JSON datasets for the fine-grained sets, plus a synthetic dataset
+for tests/benches on hosts without data.
+
+All loaders expose ``__len__`` and ``__getitem__ -> (uint8 HWC image, label)``
+and an ``iter_batches`` helper that yields preprocessed image batches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .transforms import preprocess_pil, load_image
+
+IMAGE_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp", ".tif", ".tiff")
+
+# Dataset-id -> directory name, matching `TPT/data/datautils.py:22-39`.
+ID_TO_DIRNAME = {
+    "I": "ImageNet",
+    "A": "imagenet-a",
+    "K": "ImageNet-Sketch",
+    "R": "imagenet-r",
+    "V": "imagenetv2-matched-frequency-format-val",
+    "C": "imagenet-c",
+    "flower102": "oxford_flowers",
+    "dtd": "dtd",
+    "pets": "oxford_pets",
+    "cars": "stanford_cars",
+    "ucf101": "ucf101",
+    "caltech101": "caltech-101",
+    "food101": "food-101",
+    "sun397": "sun397",
+    "aircraft": "fgvc_aircraft",
+    "eurosat": "eurosat",
+}
+
+# Fine-grained: (image subdir, Zhou split json), `TPT/data/fewshot_datasets.py:51-70`.
+JSON_SPLITS = {
+    "flower102": ("jpg", "split_zhou_OxfordFlowers.json"),
+    "food101": ("images", "split_zhou_Food101.json"),
+    "dtd": ("images", "split_zhou_DescribableTextures.json"),
+    "pets": ("images", "split_zhou_OxfordPets.json"),
+    "sun397": ("SUN397", "split_zhou_SUN397.json"),
+    "caltech101": ("101_ObjectCategories", "split_zhou_Caltech101.json"),
+    "ucf101": ("UCF-101-midframes", "split_zhou_UCF101.json"),
+    "cars": ("cars_test", "split_zhou_StanfordCars.json"),
+    "eurosat": ("2750", "split_zhou_EuroSAT.json"),
+}
+
+
+class ImageFolderDataset:
+    """Directory-per-class layout; classes sorted by name (torchvision order)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.classes = sorted(
+            d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+        )
+        self.samples: List[Tuple[str, int]] = []
+        for label, cls in enumerate(self.classes):
+            cls_dir = os.path.join(root, cls)
+            for dirpath, _, files in sorted(os.walk(cls_dir)):
+                for f in sorted(files):
+                    if f.lower().endswith(IMAGE_EXTENSIONS):
+                        self.samples.append((os.path.join(dirpath, f), label))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx) -> Tuple[np.ndarray, int]:
+        path, label = self.samples[idx]
+        return load_image(path), label
+
+
+class JsonSplitDataset:
+    """Zhou-split JSON dataset: {"train"|"val"|"test": [[path, label, name], ...]}."""
+
+    def __init__(self, image_root: str, json_path: str, mode: str = "test", n_shot: Optional[int] = None):
+        with open(json_path) as fh:
+            samples = json.load(fh)[mode]
+        self.image_root = image_root
+        self.samples = [(s[0], int(s[1])) for s in samples]
+        if n_shot is not None:
+            import random
+
+            by_class = {}
+            for i, (_, label) in enumerate(self.samples):
+                by_class.setdefault(label, []).append(i)
+            keep = []
+            for label in sorted(by_class):
+                random.seed(0)
+                keep.extend(random.sample(by_class[label], n_shot))
+            self.samples = [self.samples[i] for i in keep]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx) -> Tuple[np.ndarray, int]:
+        rel, label = self.samples[idx]
+        return load_image(os.path.join(self.image_root, rel)), label
+
+
+class AircraftDataset:
+    """FGVC-Aircraft test split from images_variant_test.txt (`TPT/data/fewshot_datasets.py:87`)."""
+
+    def __init__(self, root: str, mode: str = "test"):
+        self.image_root = os.path.join(root, "images")
+        with open(os.path.join(root, "variants.txt")) as fh:
+            variants = [ln.strip() for ln in fh if ln.strip()]
+        self.classes = variants
+        index = {v: i for i, v in enumerate(variants)}
+        self.samples = []
+        with open(os.path.join(root, f"images_variant_{mode}.txt")) as fh:
+            for ln in fh:
+                ln = ln.strip()
+                if not ln:
+                    continue
+                img_id, variant = ln.split(" ", 1)
+                self.samples.append((f"{img_id}.jpg", index[variant]))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx):
+        rel, label = self.samples[idx]
+        return load_image(os.path.join(self.image_root, rel)), label
+
+
+class SyntheticDataset:
+    """Deterministic random images for tests/benches without real data."""
+
+    def __init__(self, n: int = 64, n_classes: int = 10, size: int = 256, seed: int = 0):
+        self.n = n
+        self.n_classes = n_classes
+        self.size = size
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        img = rng.integers(0, 256, size=(self.size, self.size, 3), dtype=np.uint8)
+        return img, int(rng.integers(0, self.n_classes))
+
+
+def build_dataset(
+    set_id: str,
+    data_root: str,
+    mode: str = "test",
+    n_shot: Optional[int] = None,
+    corruption: str = "defocus_blur",
+    level: str = "5",
+):
+    """Resolve a dataset id to a loader (mirrors `TPT/data/datautils.py:42-72`)."""
+    if set_id == "synthetic":
+        return SyntheticDataset()
+    dirname = ID_TO_DIRNAME[set_id]
+    if set_id == "I":
+        return ImageFolderDataset(os.path.join(data_root, dirname, "val"))
+    if set_id in ("A", "K", "R", "V"):
+        return ImageFolderDataset(os.path.join(data_root, dirname))
+    if set_id == "C":
+        return ImageFolderDataset(os.path.join(data_root, dirname, corruption, level))
+    if set_id == "aircraft":
+        return AircraftDataset(os.path.join(data_root, dirname), mode=mode)
+    if set_id in JSON_SPLITS:
+        subdir, split_json = JSON_SPLITS[set_id]
+        base = os.path.join(data_root, dirname)
+        return JsonSplitDataset(os.path.join(base, subdir), os.path.join(base, split_json), mode=mode, n_shot=n_shot)
+    raise KeyError(f"unknown dataset id {set_id!r}")
+
+
+def iter_batches(
+    dataset,
+    batch_size: int,
+    resolution: int = 224,
+    shuffle: bool = True,
+    seed: int = 0,
+    limit: Optional[int] = None,
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Yield (images [B,R,R,3] float32, labels [B]) with host preprocessing."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    if limit is not None:
+        order = order[:limit]
+    for start in range(0, len(order), batch_size):
+        idxs = order[start : start + batch_size]
+        imgs = np.stack([preprocess_pil(dataset[i][0], resolution) for i in idxs])
+        labels = np.array([dataset[i][1] for i in idxs], dtype=np.int32)
+        yield imgs, labels
+
+
+def iter_raw(
+    dataset,
+    shuffle: bool = True,
+    seed: int = 0,
+    limit: Optional[int] = None,
+) -> Iterator[Tuple[np.ndarray, int]]:
+    """Yield raw (uint8 HWC image, label) pairs, e.g. for the TPU aug pipeline."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    if limit is not None:
+        order = order[:limit]
+    for i in order:
+        yield dataset[i]

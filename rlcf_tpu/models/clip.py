@@ -41,6 +41,9 @@ class ClipConfig:
     text_layers: int
     context_length: int = 77
     vocab_size: int = 49408
+    # Overrides for tiny test configs where width//64 would be 0.
+    vision_heads_override: Optional[int] = None
+    text_heads_override: Optional[int] = None
 
     @property
     def is_vit(self) -> bool:
@@ -48,11 +51,13 @@ class ClipConfig:
 
     @property
     def vision_heads(self) -> int:
+        if self.vision_heads_override:
+            return self.vision_heads_override
         return self.vision_width // 64 if self.is_vit else self.vision_width * 32 // 64
 
     @property
     def text_heads(self) -> int:
-        return self.text_width // 64
+        return self.text_heads_override or self.text_width // 64
 
     @property
     def grid_size(self) -> int:
