@@ -1,0 +1,101 @@
+"""Benchmark: flagship RLCF prompt-TTA throughput (images/sec/chip).
+
+Measures the reference's headline workload (`TPT/scripts/rlcf-prompt.sh`
+config: ViT-B/16 policy, ViT-L/14 frozen reward, 64 AugMix views/sample,
+selection_p=0.1, sample_k=3, tta_steps=3, 200 ImageNet-A classes) end to end
+on one chip: on-device view generation + jitted vmapped REINFORCE episodes.
+
+Weights are randomly initialized (no checkpoint egress in this environment);
+throughput is weight-independent.
+
+Baseline: the reference's per-sample A100 PyTorch throughput for this config.
+Not published in-repo (BASELINE.md: TBD); we use 1.5 img/s as the baseline
+estimate — 64-view ViT-B/16 forwards + 3x(1000-class text forward/backward)
++ ViT-L/14 reward forwards per sample put the reference's A100 wall clock at
+roughly 0.5-1 s/sample; 1.5 img/s is the generous end.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_IMG_PER_SEC = 1.5
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rlcf_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from rlcf_tpu.models import clip as C
+    from rlcf_tpu.core.reward import ClipReward, RewardConfig
+    from rlcf_tpu.core.episode import EpisodeConfig
+    from rlcf_tpu.tasks.classification import PromptTTAClassifier
+    from rlcf_tpu.data.augment import make_view_generator
+    from rlcf_tpu.data.class_names import get_classnames
+
+    n_views = int(os.environ.get("BENCH_VIEWS", 64))
+    group = int(os.environ.get("BENCH_GROUP", 4))
+    iters = int(os.environ.get("BENCH_ITERS", 6))
+    dtype = jnp.bfloat16
+
+    pcfg = C.get_config("ViT-B/16")
+    rcfg = C.get_config("ViT-L/14")
+    t0 = time.time()
+    init_p = jax.jit(lambda k: C.init_clip_params(k, pcfg, dtype=dtype))
+    init_r = jax.jit(lambda k: C.init_clip_params(k, rcfg, dtype=dtype))
+    pparams = init_p(jax.random.PRNGKey(0))
+    rparams = init_r(jax.random.PRNGKey(1))
+    jax.block_until_ready(pparams)
+    jax.block_until_ready(rparams)
+    print(f"# init {time.time()-t0:.0f}s", file=sys.stderr)
+
+    reward = ClipReward(rparams, rcfg, RewardConfig(sample_k=3))
+    ecfg = EpisodeConfig(tta_steps=3, selection_p=0.1, lr=7e-3, sample_k=3)
+    clf = PromptTTAClassifier(pparams, pcfg, reward, ecfg, ctx_init="a photo of a")
+    t0 = time.time()
+    clf.setup(get_classnames("A"))  # 200 classes, the ImageNet-A flagship set
+    print(f"# setup {time.time()-t0:.0f}s", file=sys.stderr)
+
+    gen = make_view_generator(n_views=n_views, resolution=224)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (group, 256, 256, 3), dtype=np.uint8)
+
+    # warm-up / compile
+    t0 = time.time()
+    views = gen(jnp.asarray(imgs), jax.random.split(jax.random.PRNGKey(0), group))
+    logits, _ = clf.adapt(views)
+    np.asarray(logits)
+    print(f"# compile+warmup {time.time()-t0:.0f}s", file=sys.stderr)
+
+    t0 = time.time()
+    for i in range(iters):
+        views = gen(jnp.asarray(imgs), jax.random.split(jax.random.PRNGKey(i + 1), group))
+        logits, _ = clf.adapt(views)
+    np.asarray(logits)  # drain pipeline
+    dt = time.time() - t0
+    img_per_sec = iters * group / dt
+    print(f"# steady {dt:.1f}s for {iters*group} episodes", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "rlcf_prompt_tta_throughput (ViT-B/16 policy, ViT-L/14 reward, 64 views, 3 steps, 200 classes)",
+                "value": round(img_per_sec, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -46,12 +46,13 @@ class EpisodeConfig:
     sample_k: int = 5
     min_entropy_reg: bool = False
     min_entropy_w: float = 0.1
+    adam_eps: float = 1e-8  # retrieval uses 1e-6 (`clip_ret_policy.py:235`)
 
 
 def make_optimizer(ecfg: EpisodeConfig) -> optax.GradientTransformation:
-    """AdamW with torch defaults (betas 0.9/0.999, eps 1e-8, decoupled wd),
+    """AdamW with torch defaults (betas 0.9/0.999, decoupled wd),
     matching `TPT/tpt_cls_rl.py:120`."""
-    return optax.adamw(ecfg.lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=ecfg.weight_decay)
+    return optax.adamw(ecfg.lr, b1=0.9, b2=0.999, eps=ecfg.adam_eps, weight_decay=ecfg.weight_decay)
 
 
 def step_loss(logits, reward_sim, ecfg: EpisodeConfig, score_samples: Optional[Callable], teacher_scale=None):
@@ -89,6 +90,7 @@ def make_tta_episode(
     ecfg: EpisodeConfig,
     predict_batched: bool = False,
     teacher_scale=None,
+    return_adapted: bool = False,
 ):
     """Build the generic episode function.
 
@@ -127,10 +129,10 @@ def make_tta_episode(
         pred_idx = all_idx if predict_batched else all_idx[:1]
 
         if ecfg.tta_steps == 0:
-            return policy_logits(trainable0, cache, pred_idx), {
-                "losses": jnp.zeros((0,)),
-                "selected": sel,
-            }
+            aux0 = {"losses": jnp.zeros((0,)), "selected": sel}
+            if return_adapted:
+                aux0["adapted"] = trainable0
+            return policy_logits(trainable0, cache, pred_idx), aux0
 
         # Step 0: reuse the selection forward via a masked-cotangent VJP.
         loss0, d_sel = jax.value_and_grad(loss_from_sel)(logits_all[sel])
@@ -151,6 +153,9 @@ def make_tta_episode(
         )
         losses = jnp.concatenate([loss0[None], later_losses])
 
-        return policy_logits(trainable, cache, pred_idx), {"losses": losses, "selected": sel}
+        aux = {"losses": losses, "selected": sel}
+        if return_adapted:
+            aux["adapted"] = trainable
+        return policy_logits(trainable, cache, pred_idx), aux
 
     return episode

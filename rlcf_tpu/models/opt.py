@@ -1,0 +1,416 @@
+"""OPT causal decoder with prefix (query_embeds) conditioning, in pure JAX.
+
+Functional rebuild of the reference's HF-OPT fork
+(`caption/image_llm/models/modeling_opt.py`): ``query_embeds`` are
+concatenated before the token embeddings (`modeling_opt.py:702-704`) and
+positions are derived from the attention-mask cumsum with OPT's +2 offset, so
+a learned prefix conditions generation. Generation follows
+`caption/image_llm/models/generate_opt.py:6-85`: beam search (or nucleus
+sampling) with EOS = the newline token, max 50 new tokens.
+
+TPU-first structure: stacked decoder layers traversed with ``lax.scan``; the
+whole beam search is one jitted ``lax.scan`` over a fixed token budget with a
+static-shape KV cache and finished-beam masking (no dynamic shapes, no host
+syncs per token).
+
+OPT-125m: 12 layers, d=768, 12 heads, ffn 3072, ReLU, pre-LN
+(do_layer_norm_before), tied lm head, no embed projection.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class OPTConfig:
+    vocab_size: int = 50272
+    hidden: int = 768
+    n_layers: int = 12
+    n_heads: int = 12
+    ffn: int = 3072
+    max_positions: int = 2048
+    pos_offset: int = 2  # OPTLearnedPositionalEmbedding offset
+    pad_token_id: int = 1
+    bos_token_id: int = 2
+    eos_newline_id: int = 50118  # '\n' for the OPT tokenizer ("\n" eos, generate_opt.py:53)
+
+
+OPT_CONFIGS = {
+    "opt-125m": OPTConfig(),
+    "opt-350m": OPTConfig(hidden=1024, n_layers=24, n_heads=16, ffn=4096),
+    "test-tiny-opt": OPTConfig(vocab_size=256, hidden=32, n_layers=2, n_heads=2, ffn=64, max_positions=128, eos_newline_id=3),
+}
+
+
+def init_opt_params(rng, cfg: OPTConfig, dtype=jnp.float32):
+    ks = jax.random.split(rng, 8)
+    D, F, L = cfg.hidden, cfg.ffn, cfg.n_layers
+    std = 0.02
+    shape = lambda *s: (L,) + s
+    norm = lambda k, s: (jax.random.normal(k, s) * std).astype(dtype)
+    blocks = {
+        "ln1_w": jnp.ones(shape(D), dtype),
+        "ln1_b": jnp.zeros(shape(D), dtype),
+        "q_w": norm(ks[0], shape(D, D)),
+        "q_b": jnp.zeros(shape(D), dtype),
+        "k_w": norm(jax.random.fold_in(ks[0], 1), shape(D, D)),
+        "k_b": jnp.zeros(shape(D), dtype),
+        "v_w": norm(jax.random.fold_in(ks[0], 2), shape(D, D)),
+        "v_b": jnp.zeros(shape(D), dtype),
+        "out_w": norm(ks[1], shape(D, D)),
+        "out_b": jnp.zeros(shape(D), dtype),
+        "ln2_w": jnp.ones(shape(D), dtype),
+        "ln2_b": jnp.zeros(shape(D), dtype),
+        "fc1_w": norm(ks[2], shape(D, F)),
+        "fc1_b": jnp.zeros(shape(F), dtype),
+        "fc2_w": norm(ks[3], shape(F, D)),
+        "fc2_b": jnp.zeros(shape(D), dtype),
+    }
+    return {
+        "embed_tokens": norm(ks[4], (cfg.vocab_size, D)),
+        "embed_positions": norm(ks[5], (cfg.max_positions + cfg.pos_offset, D)),
+        "final_ln_w": jnp.ones((D,), dtype),
+        "final_ln_b": jnp.zeros((D,), dtype),
+        "blocks": blocks,
+    }
+
+
+def _ln(x, w, b, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return ((x32 - mu) * jax.lax.rsqrt(var + eps) * w + b).astype(x.dtype)
+
+
+def _attn(x, p, cfg: OPTConfig, mask_bias, kv=None):
+    """Self-attention; OPT scales q before the dot product.
+
+    kv: optional (k_cache, v_cache) [B, H, T_cache, hd] to attend over
+    (decode mode: x is the new token(s) only).
+    """
+    B, T, D = x.shape
+    H = cfg.n_heads
+    hd = D // H
+    q = (x @ p["q_w"] + p["q_b"]) * (hd**-0.5)
+    k = x @ p["k_w"] + p["k_b"]
+    v = x @ p["v_w"] + p["v_b"]
+    split = lambda t: t.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+    q, k_new, v_new = split(q), split(k), split(v)
+    if kv is not None:
+        k_all, v_all = kv
+    else:
+        k_all, v_all = k_new, v_new
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k_all, preferred_element_type=jnp.float32)
+    logits = logits + mask_bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v_all, preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
+    return out @ p["out_w"] + p["out_b"], (k_new, v_new)
+
+
+def _layer(x, p, cfg, mask_bias, kv=None):
+    h, kv_new = _attn(_ln(x, p["ln1_w"], p["ln1_b"]), p, cfg, mask_bias, kv)
+    x = x + h
+    h = _ln(x, p["ln2_w"], p["ln2_b"])
+    h = jax.nn.relu(h @ p["fc1_w"] + p["fc1_b"]) @ p["fc2_w"] + p["fc2_b"]
+    return x + h, kv_new
+
+
+def _positions_from_mask(mask, offset):
+    """OPTLearnedPositionalEmbedding: cumsum(mask)*mask - 1 + offset."""
+    pos = jnp.cumsum(mask.astype(jnp.int32), axis=1) * mask.astype(jnp.int32) - 1
+    return jnp.maximum(pos, 0) + offset
+
+
+def forward(params, cfg: OPTConfig, tokens=None, prefix_embeds=None, attention_mask=None):
+    """Teacher-forcing forward -> logits [B, P+T, V].
+
+    ``prefix_embeds`` [B, P, D] are concatenated before the token embeddings
+    (`modeling_opt.py:702-704`); ``attention_mask`` [B, P+T] marks valid
+    positions (1) incl. the prefix.
+    """
+    embeds = []
+    if prefix_embeds is not None:
+        embeds.append(prefix_embeds)
+    if tokens is not None:
+        embeds.append(params["embed_tokens"][tokens])
+    x = jnp.concatenate(embeds, axis=1)
+    B, T, D = x.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones((B, T), jnp.int32)
+    pos = _positions_from_mask(attention_mask, cfg.pos_offset)
+    x = x + params["embed_positions"][pos]
+
+    causal = jnp.triu(jnp.full((T, T), -1e9, jnp.float32), k=1)
+    pad_bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9).astype(jnp.float32)
+    mask_bias = causal[None, None] + pad_bias
+
+    def body(h, layer_params):
+        h, _ = _layer(h, layer_params, cfg, mask_bias)
+        return h, None
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+    x = _ln(x, params["final_ln_w"], params["final_ln_b"])
+    return jnp.dot(x, params["embed_tokens"].T, preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Cached generation
+# ---------------------------------------------------------------------------
+
+
+def _prefill(params, cfg: OPTConfig, prefix_embeds, max_len: int):
+    """Run the prefix through the decoder, building a padded KV cache.
+
+    Returns (logits_last [B, V], cache, cache_len). Cache arrays are
+    [L, B, H, max_len, hd], prefix written at positions [0, P).
+    """
+    B, P, D = prefix_embeds.shape
+    H = cfg.n_heads
+    hd = D // H
+    mask = jnp.ones((B, P), jnp.int32)
+    pos = _positions_from_mask(mask, cfg.pos_offset)
+    x = prefix_embeds + params["embed_positions"][pos]
+    causal = jnp.triu(jnp.full((P, P), -1e9, jnp.float32), k=1)[None, None]
+
+    def body(h, layer_params):
+        h, kv = _layer(h, layer_params, cfg, causal)
+        return h, kv
+
+    x, (k_stack, v_stack) = jax.lax.scan(body, x, params["blocks"])
+    # k_stack: [L, B, H, P, hd] -> pad to max_len
+    pad = [(0, 0), (0, 0), (0, 0), (0, max_len - P), (0, 0)]
+    cache = (jnp.pad(k_stack, pad), jnp.pad(v_stack, pad))
+    x = _ln(x, params["final_ln_w"], params["final_ln_b"])
+    logits_last = jnp.dot(x[:, -1], params["embed_tokens"].T, preferred_element_type=jnp.float32)
+    return logits_last, cache, P
+
+
+def _decode_step(params, cfg: OPTConfig, token, cache, t):
+    """One cached decode step. token [B], t = absolute position index.
+
+    Returns (logits [B, V], new cache).
+    """
+    k_cache, v_cache = cache
+    L, B, H, M, hd = k_cache.shape
+    x = params["embed_tokens"][token][:, None, :]  # [B, 1, D]
+    x = x + params["embed_positions"][t + cfg.pos_offset][None, None, :]
+    # bias over cache positions: attend to [0, t]
+    valid = (jnp.arange(M) <= t)[None, None, None, :]
+    mask_bias = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
+
+    def body(carry, inp):
+        h = carry
+        layer_params, k_l, v_l = inp
+        # write new kv at position t, then attend over full cache row
+        h_ln = _ln(h, layer_params["ln1_w"], layer_params["ln1_b"])
+        Bq, T1, D = h_ln.shape
+        q = (h_ln @ layer_params["q_w"] + layer_params["q_b"]) * (hd**-0.5)
+        k_new = h_ln @ layer_params["k_w"] + layer_params["k_b"]
+        v_new = h_ln @ layer_params["v_w"] + layer_params["v_b"]
+        q = q.reshape(Bq, 1, H, hd).transpose(0, 2, 1, 3)
+        k_new = k_new.reshape(Bq, 1, H, hd).transpose(0, 2, 1, 3)
+        v_new = v_new.reshape(Bq, 1, H, hd).transpose(0, 2, 1, 3)
+        k_l = jax.lax.dynamic_update_slice(k_l, k_new.astype(k_l.dtype), (0, 0, t, 0))
+        v_l = jax.lax.dynamic_update_slice(v_l, v_new.astype(v_l.dtype), (0, 0, t, 0))
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k_l, preferred_element_type=jnp.float32) + mask_bias
+        probs = jax.nn.softmax(logits, axis=-1).astype(h.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v_l, preferred_element_type=jnp.float32).astype(h.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(Bq, 1, D)
+        out = out @ layer_params["out_w"] + layer_params["out_b"]
+        h = h + out
+        h2 = _ln(h, layer_params["ln2_w"], layer_params["ln2_b"])
+        h2 = jax.nn.relu(h2 @ layer_params["fc1_w"] + layer_params["fc1_b"]) @ layer_params["fc2_w"] + layer_params["fc2_b"]
+        return h + h2, (k_l, v_l)
+
+    x, (k_cache, v_cache) = jax.lax.scan(body, x, (params["blocks"], k_cache, v_cache))
+    x = _ln(x, params["final_ln_w"], params["final_ln_b"])
+    logits = jnp.dot(x[:, 0], params["embed_tokens"].T, preferred_element_type=jnp.float32)
+    return logits, (k_cache, v_cache)
+
+
+def beam_generate(
+    params,
+    cfg: OPTConfig,
+    prefix_embeds,
+    num_beams: int = 5,
+    max_new_tokens: int = 50,
+    min_length: int = 1,
+    eos_id: Optional[int] = None,
+    length_penalty: float = 1.0,
+    num_return: Optional[int] = None,
+):
+    """Beam search conditioned on ``prefix_embeds`` [B, P, D].
+
+    Returns (sequences [B, num_return, max_new_tokens] int32 padded with pad
+    token after EOS, scores [B, num_return]). EOS defaults to the newline
+    token (`generate_opt.py:53`); hypotheses are ranked by
+    score / length^length_penalty like HF beam search.
+    """
+    eos = cfg.eos_newline_id if eos_id is None else eos_id
+    num_return = num_return or num_beams
+    B, P, D = prefix_embeds.shape
+    max_len = P + max_new_tokens + 1
+    NEG = -1e9
+
+    # Expand prefix per beam -> batch B*K
+    K = num_beams
+    pe = jnp.repeat(prefix_embeds, K, axis=0)  # [B*K, P, D]
+    logits0, cache, t0 = _prefill(params, cfg, pe, max_len)
+
+    # beam state
+    seqs = jnp.full((B, K, max_new_tokens), cfg.pad_token_id, jnp.int32)
+    beam_scores = jnp.full((B, K), NEG, jnp.float32).at[:, 0].set(0.0)  # only beam 0 live initially
+    finished = jnp.zeros((B, K), bool)
+
+    def step(carry, step_idx):
+        seqs, beam_scores, finished, cache, logits = carry
+        logp = jax.nn.log_softmax(logits.reshape(B, K, -1), axis=-1)  # [B, K, V]
+        V = logp.shape[-1]
+        # min-length: no EOS before min_length
+        logp = jnp.where((step_idx < min_length) & (jnp.arange(V)[None, None] == eos), NEG, logp)
+        # finished beams only extend with pad at no cost
+        pad_only = jnp.full((V,), NEG).at[cfg.pad_token_id].set(0.0)
+        cand = jnp.where(finished[..., None], beam_scores[..., None] + pad_only, beam_scores[..., None] + logp)
+        flat = cand.reshape(B, K * V)
+        top_scores, top_idx = jax.lax.top_k(flat, K)  # [B, K]
+        src_beam = top_idx // V
+        token = top_idx % V
+        # reorder state
+        seqs = jnp.take_along_axis(seqs, src_beam[..., None], axis=1)
+        was_finished = jnp.take_along_axis(finished, src_beam, axis=1)
+        seqs = seqs.at[:, :, step_idx].set(jnp.where(was_finished, cfg.pad_token_id, token))
+        now_finished = was_finished | (token == eos)
+        # cache reorder: [L, B*K, H, M, hd] — gather along beam axis
+        def reorder(c):
+            cL = c.reshape(c.shape[0], B, K, *c.shape[2:])
+            cL = jnp.take_along_axis(cL, src_beam[None, :, :, None, None, None], axis=2)
+            return cL.reshape(c.shape)
+
+        cache = (reorder(cache[0]), reorder(cache[1]))
+        # next logits
+        tok_flat = jnp.where(was_finished, cfg.pad_token_id, token).reshape(B * K)
+        logits, cache = _decode_step(params, cfg, tok_flat, cache, t0 + step_idx)
+        return (seqs, top_scores, now_finished, cache, logits), None
+
+    init_logits = logits0  # [B*K, V]
+    carry = (seqs, beam_scores, finished, cache, init_logits)
+    (seqs, beam_scores, finished, _, _), _ = jax.lax.scan(step, carry, jnp.arange(max_new_tokens))
+
+    # rank by normalized score
+    lengths = jnp.sum(seqs != cfg.pad_token_id, axis=-1).clip(1)
+    norm_scores = beam_scores / (lengths.astype(jnp.float32) ** length_penalty)
+    order = jnp.argsort(-norm_scores, axis=1)[:, :num_return]
+    seqs = jnp.take_along_axis(seqs, order[..., None], axis=1)
+    out_scores = jnp.take_along_axis(norm_scores, order, axis=1)
+    return seqs, out_scores
+
+
+def nucleus_generate(
+    params,
+    cfg: OPTConfig,
+    prefix_embeds,
+    rng,
+    num_captions: int = 5,
+    max_new_tokens: int = 50,
+    min_length: int = 1,
+    top_p: float = 0.92,
+    temperature: float = 1.0,
+    eos_id: Optional[int] = None,
+):
+    """Nucleus sampling: num_captions independent samples per prefix."""
+    eos = cfg.eos_newline_id if eos_id is None else eos_id
+    B, P, D = prefix_embeds.shape
+    K = num_captions
+    pe = jnp.repeat(prefix_embeds, K, axis=0)
+    max_len = P + max_new_tokens + 1
+    logits0, cache, t0 = _prefill(params, cfg, pe, max_len)
+    N = B * K
+    seqs = jnp.full((N, max_new_tokens), cfg.pad_token_id, jnp.int32)
+    finished = jnp.zeros((N,), bool)
+
+    def sample_top_p(key, logits):
+        logits = logits / temperature
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(sorted_probs, axis=-1)
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1)  # keep tokens until cum >= p
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
+        masked = jnp.where(logits < cutoff, -1e9, logits)
+        return jax.random.categorical(key, masked, axis=-1)
+
+    def step(carry, inp):
+        seqs, finished, cache, logits = carry
+        step_idx, key = inp
+        V = logits.shape[-1]
+        logits = jnp.where((step_idx < min_length) & (jnp.arange(V)[None] == eos), -1e9, logits)
+        token = sample_top_p(key, logits)
+        token = jnp.where(finished, cfg.pad_token_id, token)
+        seqs = seqs.at[:, step_idx].set(token)
+        finished = finished | (token == eos)
+        logits, cache = _decode_step(params, cfg, token, cache, t0 + step_idx)
+        return (seqs, finished, cache, logits), None
+
+    keys = jax.random.split(rng, max_new_tokens)
+    (seqs, _, _, _), _ = jax.lax.scan(step, (seqs, finished, cache, logits0), (jnp.arange(max_new_tokens), keys))
+    return seqs.reshape(B, K, max_new_tokens)
+
+
+# ---------------------------------------------------------------------------
+# HF checkpoint conversion
+# ---------------------------------------------------------------------------
+
+
+def convert_opt_state_dict(sd: Dict, dtype=np.float32) -> Tuple[dict, OPTConfig]:
+    """HF OPT state dict -> (params, config). Accepts 'model.decoder.*' keys."""
+
+    def np_(x):
+        if hasattr(x, "detach"):
+            x = x.detach().cpu().float().numpy()
+        return np.asarray(x, dtype=dtype)
+
+    pre = "model.decoder." if any(k.startswith("model.decoder.") for k in sd) else "decoder."
+    get = lambda k: np_(sd[pre + k])
+    n_layers = len({k.split(".")[2 if pre == "model.decoder." else 1] for k in sd if ".layers." in k})
+    hidden = get("embed_tokens.weight").shape[1]
+    vocab = get("embed_tokens.weight").shape[0]
+    ffn = get("layers.0.fc1.weight").shape[0]
+    max_pos = get("embed_positions.weight").shape[0] - 2
+    cfg = OPTConfig(vocab_size=vocab, hidden=hidden, n_layers=n_layers, ffn=ffn, max_positions=max_pos,
+                    n_heads={768: 12, 1024: 16, 2048: 32}.get(hidden, hidden // 64))
+
+    T = np.transpose
+    lay = lambda i, name: np_(sd[f"{pre}layers.{i}.{name}"])
+    stack = lambda name, tr=lambda x: x: jnp.asarray(np.stack([tr(lay(i, name)) for i in range(n_layers)]))
+    blocks = {
+        "ln1_w": stack("self_attn_layer_norm.weight"),
+        "ln1_b": stack("self_attn_layer_norm.bias"),
+        "q_w": stack("self_attn.q_proj.weight", T),
+        "q_b": stack("self_attn.q_proj.bias"),
+        "k_w": stack("self_attn.k_proj.weight", T),
+        "k_b": stack("self_attn.k_proj.bias"),
+        "v_w": stack("self_attn.v_proj.weight", T),
+        "v_b": stack("self_attn.v_proj.bias"),
+        "out_w": stack("self_attn.out_proj.weight", T),
+        "out_b": stack("self_attn.out_proj.bias"),
+        "ln2_w": stack("final_layer_norm.weight"),
+        "ln2_b": stack("final_layer_norm.bias"),
+        "fc1_w": stack("fc1.weight", T),
+        "fc1_b": stack("fc1.bias"),
+        "fc2_w": stack("fc2.weight", T),
+        "fc2_b": stack("fc2.bias"),
+    }
+    params = {
+        "embed_tokens": jnp.asarray(get("embed_tokens.weight")),
+        "embed_positions": jnp.asarray(get("embed_positions.weight")),
+        "final_ln_w": jnp.asarray(get("final_layer_norm.weight")),
+        "final_ln_b": jnp.asarray(get("final_layer_norm.bias")),
+        "blocks": blocks,
+    }
+    return params, cfg

@@ -1,0 +1,63 @@
+"""Device-mesh construction and episode sharding.
+
+TTA episodes are embarrassingly parallel (every episode resets to the same
+initial state — SURVEY §2.5), so the primary axis is **dp**: the episode
+stream is sharded across chips and each chip runs whole episodes; the only
+cross-chip communication is metric aggregation. A secondary **tp** axis
+shards the long class/gallery axis (1000 prompts, ~25k captions): class text
+features, reward similarity columns, and the logits' class dimension are
+partitioned, with XLA inserting the (all-gather/psum) collectives over ICI.
+
+The reference has no exercised distribution (single GPU by design,
+`TPT/params.py:92-93`); this module is the TPU-native replacement for the
+vestigial NCCL path (`retrieval/lavis/common/dist_utils.py:57-90`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None, tp: int = 1) -> Mesh:
+    """Build a (dp, tp) mesh over the first ``n_devices`` devices."""
+    devices = jax.devices()[: n_devices or len(jax.devices())]
+    n = len(devices)
+    if dp is None:
+        dp = n // tp
+    assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
+    arr = np.array(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def episode_shardings(mesh: Mesh):
+    """(in, out) shardings for a batched episode fn: batch axis over dp."""
+    data = NamedSharding(mesh, P("dp"))
+    replicated = NamedSharding(mesh, P())
+    return data, replicated
+
+
+def shard_batched_episode(batched_episode_fn, mesh: Mesh):
+    """jit a vmapped episode fn with the episode batch sharded over dp.
+
+    The function must take (views_batch [N, ...]) with N divisible by the dp
+    size; params captured in closure are replicated.
+    """
+    data, _ = episode_shardings(mesh)
+    return jax.jit(batched_episode_fn, in_shardings=(data,))
+
+
+def class_sharded(mesh: Mesh, array, axis: int = 0):
+    """Place an array with its class/gallery axis sharded over tp."""
+    spec = [None] * array.ndim
+    spec[axis] = "tp"
+    return jax.device_put(array, NamedSharding(mesh, P(*spec)))
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

@@ -182,3 +182,119 @@ class PromptTTAClassifier:
         """views_batch: [N, B, H, W, 3] -> (final_logits [N, C], aux)."""
         logits, aux = self._episode_batched(jnp.asarray(views_batch))
         return logits[:, 0], aux
+
+
+# ---------------------------------------------------------------------------
+# Encoder TTA: `TPT/tune_cls_rl.py` (CLIPCLS_TTA) — tune the visual tower
+# ---------------------------------------------------------------------------
+
+
+class EncoderTTAClassifier:
+    """Visual-encoder test-time adaptation with frozen class text features.
+
+    Mirrors `CLIPCLS_TTA` (`custom_clip.py:364-497`): class features are
+    computed once per dataset from plain prompts; episodes adapt the visual
+    tower (or only its normalization affines with ``only_norm``) under the
+    REINFORCE/TPT/KD loss; optional momentum-EMA re-anchoring of the episode
+    start point every ``update_freq`` samples; optional BN-prior statistics
+    mixing for ResNet towers (`tune_cls_rl.py:35-44`).
+    """
+
+    def __init__(
+        self,
+        clip_params,
+        clip_cfg,
+        reward,
+        ecfg,
+        prompt_prefix: str = "a photo of a",
+        only_norm: bool = False,
+        momentum_update: bool = False,
+        update_freq: int = 256,
+        update_w: float = 1.0,
+        momentum: float = 0.9999,
+        bn_prior: Optional[float] = None,
+    ):
+        from ..core import policy as Po
+
+        self.clip_params = clip_params
+        self.clip_cfg = clip_cfg
+        self.reward = reward
+        self.ecfg = ecfg
+        self.prompt_prefix = prompt_prefix
+        self.only_norm = only_norm
+        self.momentum_cfg = dict(momentum=momentum, update_freq=update_freq, update_w=update_w)
+        self.momentum_update = momentum_update
+        self.bn_prior = bn_prior
+        self._Po = Po
+
+        if only_norm:
+            self.trainable0, self.frozen_visual = Po.partition(clip_params["visual"], Po.norm_only_filter)
+        else:
+            self.trainable0, self.frozen_visual = clip_params["visual"], None
+        self.momentum_state = Po.MomentumState.create(self.trainable0) if momentum_update else None
+        self._episode_batched = None
+        self.class_features = None
+
+    def setup(self, classnames: Sequence[str]):
+        from ..core.episode import make_tta_episode
+        from ..core.prompt import splice_prompts  # noqa: F401 (parity note)
+
+        Po = self._Po
+        self.class_features = compute_class_features(self.clip_params, self.clip_cfg, classnames, self.prompt_prefix)
+        self.reward.set_class_features(
+            tokenized=np.asarray(
+                tokenize(assemble_prompts(classnames, self.prompt_prefix))
+            )
+        )
+        clip_params, cfg = self.clip_params, self.clip_cfg
+        scale = jnp.exp(clip_params["logit_scale"])
+        class_feats = self.class_features
+        reward_model = self.reward
+        reward_class_feats = reward_model.class_features
+        frozen_visual = self.frozen_visual
+        only_norm = self.only_norm
+        bn_prior = self.bn_prior
+
+        def policy_logits(trainable, cache, idx):
+            visual = Po.merge(trainable, frozen_visual) if only_norm else trainable
+            params = {**clip_params, "visual": visual}
+            feats = clip_model.encode_image(params, cfg, cache["views"][idx], bn_prior=bn_prior)
+            feats = clip_model.normalize(feats.astype(jnp.float32))
+            return scale * jnp.dot(feats, class_feats.T, preferred_element_type=jnp.float32)
+
+        def reward_image_sim(views_sel):
+            feats = reward_model.image_features(views_sel)
+            return jnp.dot(feats, reward_class_feats.T, preferred_element_type=jnp.float32)
+
+        teacher_scale = jnp.exp(reward_model.params["logit_scale"]) if hasattr(reward_model, "params") else None
+        episode = make_tta_episode(
+            policy_logits,
+            reward_image_sim,
+            reward_model.score_samples,
+            self.ecfg,
+            teacher_scale=teacher_scale,
+            return_adapted=self.momentum_update,
+        )
+
+        def full_episode(trainable0, views):
+            return episode(trainable0, {"views": views}, views)
+
+        self._episode_batched = jax.jit(jax.vmap(full_episode, in_axes=(None, 0)))
+        return self
+
+    def adapt(self, views_batch):
+        """views_batch: [N, B, H, W, 3] -> (final_logits [N, C], aux).
+
+        With momentum_update, adapted weights of each episode in the batch are
+        EMA-folded in order (`tune_cls_rl.py:240`).
+        """
+        Po = self._Po
+        start = self.momentum_state.reset_params if self.momentum_update else self.trainable0
+        logits, aux = self._episode_batched(start, jnp.asarray(views_batch))
+        if self.momentum_update:
+            n = views_batch.shape[0]
+            for i in range(n):
+                adapted_i = jax.tree_util.tree_map(lambda a: a[i], aux["adapted"])
+                self.momentum_state = Po.momentum_update(self.momentum_state, adapted_i, **self.momentum_cfg)
+            aux = {k: v for k, v in aux.items() if k != "adapted"}
+        return logits[:, 0], aux

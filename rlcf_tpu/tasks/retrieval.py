@@ -1,0 +1,226 @@
+"""Retrieval TTA: per-query REINFORCE over a cached gallery.
+
+Rebuild of `retrieval/clip_ret_policy.py` + `retrieval/custom_models.py`:
+
+- i2t ("image2text"): gallery text features (policy + reward towers) are
+  precomputed once (`clip_ret_policy.py:150-156`); each query image runs an
+  episode adapting the CLIP **visual** tower with the reward-weighted CE over
+  the top-K retrieved captions (`tune_image`, `:76-103`); the final
+  logits row fills the score matrix (`:168-173`).
+- t2i ("text2image"): symmetric — gallery image features cached, episodes
+  adapt the **text** tower per query caption (`tune_text`, `:106-137`).
+
+TPU-native deltas: episodes are pure (reset == reuse of initial params,
+`:176-179`), jitted, and vmapped over query groups instead of the reference's
+sequential bs=1 loop; AdamW uses eps=1e-6 (`:235`). Momentum-EMA re-anchoring
+is supported like the classification encoder TTA. The KD variant
+(`clip_ret_kd.py:37-93`) distills the frozen reward sim row instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import policy as Po
+from ..core.episode import EpisodeConfig, make_tta_episode
+from ..models import clip as clip_model
+from ..tokenizer import tokenize
+
+
+@dataclasses.dataclass
+class RetrievalGallery:
+    """Eval-set annotations: images, captions, and GT mappings
+    (`retrieval_datasets.py:63-95`)."""
+
+    image_paths: List[str]
+    texts: List[str]
+    img2txt: Dict[int, List[int]]
+    txt2img: Dict[int, int]
+
+
+def load_karpathy_annotations(ann_path: str, vis_root: str = "") -> RetrievalGallery:
+    """LAVIS retrieval annotation json: [{"image": rel, "caption": [...]}]."""
+    with open(ann_path) as fh:
+        annotations = json.load(fh)
+    image_paths, texts = [], []
+    img2txt, txt2img = {}, {}
+    tid = 0
+    for img_id, ann in enumerate(annotations):
+        image_paths.append(os.path.join(vis_root, ann["image"]))
+        img2txt[img_id] = []
+        caps = ann["caption"] if isinstance(ann["caption"], list) else [ann["caption"]]
+        for cap in caps:
+            texts.append(cap)
+            img2txt[img_id].append(tid)
+            txt2img[tid] = img_id
+            tid += 1
+    return RetrievalGallery(image_paths, texts, img2txt, txt2img)
+
+
+def encode_text_gallery(params, cfg, texts: Sequence[str], batch_size: int = 256):
+    """Normalized text features [N, E] for the whole caption gallery."""
+    tokens = tokenize(list(texts), truncate=True)
+    encode = jax.jit(functools.partial(clip_model.encode_text, cfg=cfg))
+    feats = []
+    for s in range(0, tokens.shape[0], batch_size):
+        feats.append(encode(params, tokens=jnp.asarray(tokens[s : s + batch_size])))
+    out = jnp.concatenate(feats, axis=0).astype(jnp.float32)
+    return clip_model.normalize(out), tokens
+
+
+def encode_image_gallery(params, cfg, images_iter, batch_size: int = 64):
+    """Normalized image features [M, E] from an iterator of NHWC batches."""
+    encode = jax.jit(functools.partial(clip_model.encode_image, cfg=cfg))
+    feats = []
+    for batch in images_iter:
+        feats.append(encode(params, images=jnp.asarray(batch)))
+    out = jnp.concatenate(feats, axis=0).astype(jnp.float32)
+    return clip_model.normalize(out)
+
+
+class RetrievalTTA:
+    """Per-query retrieval TTA engine for one direction."""
+
+    def __init__(
+        self,
+        clip_params,
+        clip_cfg,
+        reward,
+        ecfg: EpisodeConfig,
+        direction: str = "i2t",
+        momentum_update: bool = False,
+        update_freq: int = 256,
+        update_w: float = 1.0,
+        momentum: float = 0.9999,
+    ):
+        assert direction in ("i2t", "t2i")
+        self.clip_params = clip_params
+        self.clip_cfg = clip_cfg
+        self.reward = reward
+        self.ecfg = ecfg
+        self.direction = direction
+        self.momentum_update = momentum_update
+        self.momentum_cfg = dict(momentum=momentum, update_freq=update_freq, update_w=update_w)
+        if direction == "i2t":
+            self.trainable0 = clip_params["visual"]
+        else:
+            self.trainable0 = clip_params["text"]
+        self.momentum_state = Po.MomentumState.create(self.trainable0) if momentum_update else None
+        self._episode = None
+        self.gallery_feats = None
+        self.reward_gallery_feats = None
+
+    # -- gallery setup ----------------------------------------------------
+
+    def set_text_gallery(self, texts: Sequence[str]):
+        """i2t: cache policy + reward text features for all captions."""
+        self.gallery_feats, _ = encode_text_gallery(self.clip_params, self.clip_cfg, texts)
+        tokens = tokenize(list(texts), truncate=True)
+        self.reward_gallery_feats = self.reward.set_class_features(tokenized=tokens)
+        self._build_episode()
+        return self
+
+    def set_image_gallery(self, images_iter_policy, images_iter_reward):
+        """t2i: cache policy + reward image features for all gallery images."""
+        self.gallery_feats = encode_image_gallery(self.clip_params, self.clip_cfg, images_iter_policy)
+        rfeats = []
+        encode = jax.jit(self.reward.image_features)
+        for batch in images_iter_reward:
+            rfeats.append(encode(jnp.asarray(batch)))
+        self.reward_gallery_feats = jnp.concatenate(rfeats, axis=0)
+        self.reward.class_features = self.reward_gallery_feats
+        self._build_episode()
+        return self
+
+    # -- episode ----------------------------------------------------------
+
+    def _build_episode(self):
+        clip_params, cfg = self.clip_params, self.clip_cfg
+        scale = jnp.exp(clip_params["logit_scale"])
+        gallery = self.gallery_feats
+        r_gallery = self.reward_gallery_feats
+        reward_model = self.reward
+        direction = self.direction
+
+        if direction == "i2t":
+
+            def policy_logits(visual, cache, idx):
+                params = {**clip_params, "visual": visual}
+                feats = clip_model.encode_image(params, cfg, cache["views"][idx])
+                feats = clip_model.normalize(feats.astype(jnp.float32))
+                return scale * jnp.dot(feats, gallery.T, preferred_element_type=jnp.float32)
+
+            def reward_sim(views_sel):
+                feats = reward_model.image_features(views_sel)
+                return jnp.dot(feats, r_gallery.T, preferred_element_type=jnp.float32)
+
+        else:
+
+            def policy_logits(text_params, cache, idx):
+                params = {**clip_params, "text": text_params}
+                feats = clip_model.encode_text(params, cfg, cache["views"][idx])
+                feats = clip_model.normalize(feats.astype(jnp.float32))
+                return scale * jnp.dot(feats, gallery.T, preferred_element_type=jnp.float32)
+
+            def reward_sim(tokens_sel):
+                feats = reward_model.text_features(tokens_sel)
+                return jnp.dot(feats, r_gallery.T, preferred_element_type=jnp.float32)
+
+        episode = make_tta_episode(
+            policy_logits,
+            reward_sim,
+            reward_model.score_samples,
+            # single query, no view selection: keep the one "view"
+            dataclasses.replace(self.ecfg, selection_p=1.0),
+            return_adapted=self.momentum_update,
+        )
+
+        def full_episode(trainable0, query):
+            # query: image [1, H, W, 3] or tokens [1, 77]
+            return episode(trainable0, {"views": query}, query)
+
+        self._episode = jax.jit(jax.vmap(full_episode, in_axes=(None, 0)))
+
+    def adapt_queries(self, queries: np.ndarray) -> np.ndarray:
+        """Run episodes for a group of queries -> score rows [N, gallery_size].
+
+        queries: [N, H, W, 3] images (i2t) or [N, 77] tokens (t2i).
+        """
+        q = jnp.asarray(queries)[:, None]  # add the singleton view axis
+        start = self.momentum_state.reset_params if self.momentum_update else self.trainable0
+        logits, aux = self._episode(start, q)
+        if self.momentum_update:
+            for i in range(q.shape[0]):
+                adapted_i = jax.tree_util.tree_map(lambda a: a[i], aux["adapted"])
+                self.momentum_state = Po.momentum_update(self.momentum_state, adapted_i, **self.momentum_cfg)
+        return np.asarray(logits[:, 0])
+
+    def run(self, queries_iter, total: int, gallery_size: int, group_size: int = 4) -> np.ndarray:
+        """Fill the full score matrix (init -100, `clip_ret_policy.py:146-147`)."""
+        scores = np.full((total, gallery_size), -100.0, dtype=np.float32)
+        row = 0
+        buf = []
+        for q in queries_iter:
+            buf.append(q)
+            if len(buf) == group_size:
+                scores[row : row + group_size] = self.adapt_queries(np.stack(buf))
+                row += group_size
+                buf = []
+        if buf:
+            scores[row : row + len(buf)] = self.adapt_queries(np.stack(buf))
+        return scores
+
+
+def zero_shot_scores(clip_params, cfg, image_feats, text_feats):
+    """Zero-shot score matrices (`retrieval/zero_shot.py:24-36`)."""
+    scale = jnp.exp(clip_params["logit_scale"])
+    i2t = scale * jnp.dot(image_feats, text_feats.T, preferred_element_type=jnp.float32)
+    return np.asarray(i2t), np.asarray(i2t.T)
