@@ -375,9 +375,11 @@ def convert_opt_state_dict(sd: Dict, dtype=np.float32) -> Tuple[dict, OPTConfig]
             x = x.detach().cpu().float().numpy()
         return np.asarray(x, dtype=dtype)
 
+    import re
+
     pre = "model.decoder." if any(k.startswith("model.decoder.") for k in sd) else "decoder."
     get = lambda k: np_(sd[pre + k])
-    n_layers = len({k.split(".")[2 if pre == "model.decoder." else 1] for k in sd if ".layers." in k})
+    n_layers = len({m.group(1) for k in sd for m in [re.search(r"\.layers\.(\d+)\.", k)] if m})
     hidden = get("embed_tokens.weight").shape[1]
     vocab = get("embed_tokens.weight").shape[0]
     ffn = get("layers.0.fc1.weight").shape[0]
