@@ -1,0 +1,369 @@
+"""Captioning: ClipCap/CapDec models, supervised training, TTA with CLIP reward.
+
+Rebuild of the reference caption pipeline:
+
+- Model (`caption/image_llm/models/modules.py:212-268`): a prefix mapper
+  projects a CLIP embedding to ``prefix_length`` LLM token embeddings which
+  condition a frozen OPT decoder; only the mapper trains
+  (``ClipCaptionPrefixV2``).
+- Supervised trainer (`caption/train.py:18-76`): teacher-forcing CE on
+  precomputed CLIP embeddings; CapDec adds Gaussian noise to the (normalized)
+  text embedding (`caption/image_llm/utils.py:24-41`); linear-warmup schedule;
+  loss slice ``logits[:, prefix_len-1:-1]`` with ignore_index=0.
+- TTA (`caption/capdec_tta.py:49-156`): per image, ``tta_steps`` of
+  {beam-sample K captions, CLIPScore them against the image, baseline
+  subtract, reward-weighted teacher-forcing CE on the sampled tokens};
+  final beam-5 caption; mapper-only gradients; snapshot/reset via pure
+  params. Generation->reward needs a host tokenizer round-trip (OPT ids ->
+  text -> CLIP BPE), so the TTA driver alternates jitted device stages with
+  host decode, batched over image groups.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import clip as clip_model
+from ..models import mappers as M
+from ..models import opt as O
+from ..tokenizer import tokenize as clip_tokenize
+
+
+@dataclasses.dataclass(frozen=True)
+class CaptionModelConfig:
+    mapper: M.MapperConfig
+    opt: O.OPTConfig
+    normalize_prefix: bool = False
+
+    @property
+    def prefix_length(self) -> int:
+        return self.mapper.prefix_length
+
+
+def init_caption_params(rng, ccfg: CaptionModelConfig, dtype=jnp.float32):
+    k1, k2 = jax.random.split(rng)
+    return {
+        "mapper": M.init_mapper_params(k1, ccfg.mapper, dtype),
+        "opt": O.init_opt_params(k2, ccfg.opt, dtype),
+    }
+
+
+def prefix_tokens(mapper_params, ccfg: CaptionModelConfig, clip_emb):
+    """CLIP embedding [B, E] -> prefix embeddings [B, P, D]."""
+    return M.mapper_forward(mapper_params, ccfg.mapper, clip_emb)
+
+
+def caption_forward(params, ccfg: CaptionModelConfig, clip_emb, tokens, attention_mask=None):
+    """Teacher-forcing logits [B, P+T, V] (`modules.py:239-252`)."""
+    prefix = prefix_tokens(params["mapper"], ccfg, clip_emb)
+    return O.forward(params["opt"], ccfg.opt, tokens=tokens, prefix_embeds=prefix, attention_mask=attention_mask)
+
+
+def caption_ce(logits, tokens, prefix_length: int, ignore_id: int = 0, per_sample: bool = False):
+    """CE over ``logits[:, P-1:-1]`` vs tokens, ignore_index=0
+    (`caption/train.py:46-47`, `capdec_tta.py:120-123`)."""
+    sl = logits[:, prefix_length - 1 : -1]
+    logp = jax.nn.log_softmax(sl.astype(jnp.float32), axis=-1)
+    ce = -jnp.take_along_axis(logp, tokens[..., None], axis=-1)[..., 0]  # [B, T]
+    keep = (tokens != ignore_id).astype(jnp.float32)
+    if per_sample:
+        # reference TTA divides by the full token count (reduction='none'
+        # then .mean(-1) over ALL positions; pads beyond ignore_id count)
+        return jnp.sum(ce * keep, axis=-1) / ce.shape[-1]
+    return jnp.sum(ce * keep) / jnp.maximum(jnp.sum(keep), 1.0)
+
+
+def noise_injection(rng, x, variance: float = 0.016, dont_norm: bool = False):
+    """CapDec Gaussian noise on the CLIP text embedding (`utils.py:24-41`)."""
+    if variance <= 0:
+        return x
+    if not dont_norm:
+        x = clip_model.normalize(x)
+    x = x + jax.random.normal(rng, x.shape, x.dtype) * np.sqrt(variance)
+    return clip_model.normalize(x)
+
+
+# ---------------------------------------------------------------------------
+# Supervised trainer (ClipCap / CapDec)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    lr: float = 2e-5
+    warmup_steps: int = 5000
+    total_steps: int = 100_000
+    epochs: int = 10
+    batch_size: int = 40
+    cap_model: str = "CapDec"  # CapDec => noise injection on text embeddings
+    noise_variance: float = 0.016
+    normalize_prefix: bool = False
+
+
+def make_caption_trainer(ccfg: CaptionModelConfig, tcfg: TrainConfig):
+    """Returns (init_opt_state, jitted train_step).
+
+    train_step(mapper_params, opt_state, rng, prefix, tokens, mask)
+      -> (mapper_params, opt_state, loss)
+    Only the mapper trains (`ClipCaptionPrefixV2.parameters()`,
+    `modules.py:255-258`).
+    """
+    # linear warmup then linear decay to 0 over total_steps (HF
+    # get_linear_schedule_with_warmup, `caption/train.py:96-101`)
+    def lr_fn(step):
+        warm = step / jnp.maximum(tcfg.warmup_steps, 1)
+        decay = jnp.maximum(
+            0.0, (tcfg.total_steps - step) / jnp.maximum(tcfg.total_steps - tcfg.warmup_steps, 1)
+        )
+        return tcfg.lr * jnp.where(step < tcfg.warmup_steps, warm, decay)
+
+    opt = optax.adamw(lr_fn, weight_decay=0.0)
+
+    def train_step(mapper_params, opt_params, opt_state, rng, prefix, tokens, mask):
+        if tcfg.cap_model == "CapDec":
+            prefix = noise_injection(rng, prefix, tcfg.noise_variance, dont_norm=tcfg.normalize_prefix)
+        elif tcfg.normalize_prefix:
+            prefix = clip_model.normalize(prefix)
+
+        def loss_fn(mp):
+            logits = O.forward(
+                opt_params,
+                ccfg.opt,
+                tokens=tokens,
+                prefix_embeds=prefix_tokens(mp, ccfg, prefix),
+                attention_mask=mask,
+            )
+            return caption_ce(logits, tokens, ccfg.prefix_length)
+
+        loss, grads = jax.value_and_grad(loss_fn)(mapper_params)
+        updates, opt_state = opt.update(grads, opt_state, mapper_params)
+        mapper_params = optax.apply_updates(mapper_params, updates)
+        return mapper_params, opt_state, loss
+
+    return opt, jax.jit(train_step)
+
+
+def train_caption_model(
+    params,
+    ccfg: CaptionModelConfig,
+    tcfg: TrainConfig,
+    dataset_iter_fn: Callable[[], object],
+    rng=None,
+    log_every: int = 100,
+    checkpoint_dir: Optional[str] = None,
+    start_epoch: int = 0,
+):
+    """Epoch loop over an iterator factory yielding (prefix, tokens, mask).
+
+    Saves ``ckpt-latest.npz`` plus last-6-epoch snapshots like
+    `caption/train.py:62-71`.
+    """
+    import os
+
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    opt, train_step = make_caption_trainer(ccfg, tcfg)
+    opt_state = opt.init(params["mapper"])
+    mapper = params["mapper"]
+    losses = []
+    for epoch in range(start_epoch, tcfg.epochs):
+        total, count = 0.0, 0
+        for prefix, tokens, mask in dataset_iter_fn():
+            rng, sub = jax.random.split(rng)
+            mapper, opt_state, loss = train_step(
+                mapper, params["opt"], opt_state, sub, jnp.asarray(prefix), jnp.asarray(tokens), jnp.asarray(mask)
+            )
+            total += float(loss)
+            count += 1
+        losses.append(total / max(count, 1))
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            save_mapper_checkpoint(os.path.join(checkpoint_dir, "ckpt-latest.npz"), mapper, epoch)
+            if epoch >= tcfg.epochs - 6:
+                save_mapper_checkpoint(os.path.join(checkpoint_dir, f"ckpt-{epoch:03d}.npz"), mapper, epoch)
+    return {**params, "mapper": mapper}, losses
+
+
+def save_mapper_checkpoint(path: str, mapper_params, epoch: int):
+    flat = {}
+    for key_path, leaf in jax.tree_util.tree_flatten_with_path(mapper_params)[0]:
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in key_path)
+        flat[name] = np.asarray(leaf)
+    np.savez(path, __epoch__=epoch, **flat)
+
+
+def load_mapper_checkpoint(path: str, template):
+    data = np.load(path)
+    flat_template = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for key_path, leaf in flat_template[0]:
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in key_path)
+        leaves.append(jnp.asarray(data[name]))
+    return jax.tree_util.tree_unflatten(jax.tree_util.tree_structure(template), leaves), int(data["__epoch__"])
+
+
+# ---------------------------------------------------------------------------
+# Caption TTA (CAP_TTA + make_preds_policy_batch)
+# ---------------------------------------------------------------------------
+
+
+class CaptionTTA:
+    """Per-image caption TTA with a frozen CLIP reward.
+
+    Host/device split: generation and the reward/update step are jitted; the
+    OPT-token -> text -> CLIP-token round trip runs on host between them.
+    """
+
+    def __init__(
+        self,
+        params,
+        ccfg: CaptionModelConfig,
+        reward,
+        opt_tokenizer,
+        tta_steps: int = 4,
+        lr: float = 3e-6,
+        weight_decay: float = 5e-4,
+        sample_k: int = 6,
+        max_new_tokens: int = 50,
+        use_nucleus: bool = False,
+        momentum_update: bool = False,
+        update_freq: int = 256,
+        update_w: float = 1.0,
+        momentum: float = 0.9999,
+        token_pad_len: int = 32,
+    ):
+        from ..core import policy as Po
+
+        self.params = params
+        self.ccfg = ccfg
+        self.reward = reward
+        self.tok = opt_tokenizer
+        self.tta_steps = tta_steps
+        self.sample_k = sample_k
+        self.max_new_tokens = max_new_tokens
+        self.use_nucleus = use_nucleus
+        self.token_pad_len = token_pad_len
+        self.opt = optax.adamw(lr, weight_decay=weight_decay)
+        self.momentum_update = momentum_update
+        self.momentum_cfg = dict(momentum=momentum, update_freq=update_freq, update_w=update_w)
+        self.momentum_state = Po.MomentumState.create(params["mapper"]) if momentum_update else None
+        self._Po = Po
+
+        opt_params = params["opt"]
+
+        @jax.jit
+        def generate_k(mapper_params, clip_emb):
+            prefix = prefix_tokens(mapper_params, ccfg, clip_emb)
+            seqs, _ = O.beam_generate(
+                opt_params, ccfg.opt, prefix, num_beams=sample_k, max_new_tokens=max_new_tokens, num_return=sample_k
+            )
+            return seqs  # [B, K, L]
+
+        @jax.jit
+        def generate_final(mapper_params, clip_emb):
+            prefix = prefix_tokens(mapper_params, ccfg, clip_emb)
+            seqs, _ = O.beam_generate(
+                opt_params, ccfg.opt, prefix, num_beams=5, max_new_tokens=max_new_tokens, num_return=1
+            )
+            return seqs[:, 0]
+
+        @jax.jit
+        def reward_of(image, caption_clip_tokens):
+            """CLIPScore(image, K captions) -> processed rewards [K]."""
+            img_feat = self.reward.image_features(image[None])
+            txt_feats = self.reward.text_features(caption_clip_tokens)
+            sim = jnp.sum(txt_feats * img_feat, axis=-1)  # [K]
+            from ..core.losses import clipscore, rewards_post_process
+
+            scores = clipscore(sim, self.reward.rcfg.clipscore_weight)
+            return rewards_post_process(
+                scores.reshape(1, -1), self.reward.rcfg.reward_process, self.reward.rcfg.amplify
+            )
+
+        @jax.jit
+        def update_step(mapper_params, opt_state, clip_emb, opt_tokens, attn_mask, rewards):
+            """Reward-weighted teacher-forcing CE on sampled captions
+            (`capdec_tta.py:111-130`). opt_tokens [K, L]."""
+            K = opt_tokens.shape[0]
+            rep_emb = jnp.repeat(clip_emb[None], K, axis=0)
+
+            def loss_fn(mp):
+                logits = O.forward(
+                    opt_params, ccfg.opt, tokens=opt_tokens,
+                    prefix_embeds=prefix_tokens(mp, ccfg, rep_emb), attention_mask=attn_mask,
+                )
+                per_caption = caption_ce(logits, opt_tokens, ccfg.prefix_length, per_sample=True)
+                return jnp.mean(rewards * per_caption)
+
+            loss, grads = jax.value_and_grad(loss_fn)(mapper_params)
+            updates, opt_state = self.opt.update(grads, opt_state, mapper_params)
+            return optax.apply_updates(mapper_params, updates), opt_state, loss
+
+        self._generate_k = generate_k
+        self._generate_final = generate_final
+        self._reward_of = reward_of
+        self._update_step = update_step
+
+    def _decode_and_retokenize(self, seqs_np):
+        """OPT ids [K, L] -> texts + (opt tokens+mask padded, clip tokens)."""
+        texts = self.tok.batch_decode(seqs_np, stop_id=self.ccfg.opt.eos_newline_id)
+        opt_tokens, opt_mask = self.tok.batch_encode(texts, pad_to=self.token_pad_len)
+        clip_tokens = clip_tokenize([t if t else " " for t in texts], truncate=True)
+        return texts, opt_tokens, opt_mask, clip_tokens
+
+    def adapt_image(self, image, clip_emb, trace: Optional[list] = None) -> str:
+        """One image's TTA -> final caption text."""
+        start = self.momentum_state.reset_params if self.momentum_update else self.params["mapper"]
+        mapper = start
+        opt_state = self.opt.init(mapper)
+        clip_emb = jnp.asarray(clip_emb)[None]  # [1, E]
+        image = jnp.asarray(image)
+        P = self.ccfg.prefix_length
+        for _ in range(self.tta_steps):
+            seqs = self._generate_k(mapper, clip_emb)  # [1, K, L]
+            texts, opt_tokens, opt_mask, clip_tokens = self._decode_and_retokenize(np.asarray(seqs[0]))
+            rewards = self._reward_of(image, jnp.asarray(clip_tokens))
+            if trace is not None:
+                trace.append(list(zip(texts, np.asarray(rewards).tolist())))
+            attn = np.concatenate([np.ones((opt_tokens.shape[0], P), np.int32), opt_mask], axis=1)
+            mapper, opt_state, _ = self._update_step(
+                mapper, opt_state, clip_emb[0], jnp.asarray(opt_tokens), jnp.asarray(attn), rewards
+            )
+        final = self._generate_final(mapper, clip_emb)
+        caption = self.tok.batch_decode(np.asarray(final), stop_id=self.ccfg.opt.eos_newline_id)[0].lower()
+        if self.momentum_update:
+            self.momentum_state = self._Po.momentum_update(self.momentum_state, mapper, **self.momentum_cfg)
+        return caption
+
+    def predict_only(self, clip_emb) -> List[str]:
+        """No-TTA beam-5 predictions (`caption/predictions.py:21-70`)."""
+        final = self._generate_final(self.params["mapper"], jnp.asarray(clip_emb))
+        return [t.lower() for t in self.tok.batch_decode(np.asarray(final), stop_id=self.ccfg.opt.eos_newline_id)]
+
+
+# ---------------------------------------------------------------------------
+# CLIP feature pre-extraction (`caption/extractor_pickle.py`)
+# ---------------------------------------------------------------------------
+
+
+def extract_clip_features(clip_params, clip_cfg, images_iter=None, texts: Optional[Sequence[str]] = None, batch_size: int = 256):
+    """Precompute CLIP image and/or text embeddings for caption training."""
+    out = {}
+    if images_iter is not None:
+        encode_i = jax.jit(functools.partial(clip_model.encode_image, cfg=clip_cfg))
+        feats = [np.asarray(encode_i(clip_params, images=jnp.asarray(b))) for b in images_iter]
+        out["image_embeddings"] = np.concatenate(feats, axis=0)
+    if texts is not None:
+        encode_t = jax.jit(functools.partial(clip_model.encode_text, cfg=clip_cfg))
+        tok = clip_tokenize(list(texts), truncate=True)
+        feats = []
+        for s in range(0, tok.shape[0], batch_size):
+            feats.append(np.asarray(encode_t(clip_params, tokens=jnp.asarray(tok[s : s + batch_size]))))
+        out["text_embeddings"] = np.concatenate(feats, axis=0)
+    return out

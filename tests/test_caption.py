@@ -1,0 +1,204 @@
+"""Caption stack: mapper parity, GPT-2 tokenizer, trainer, TTA driver."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rlcf_tpu.models import mappers as M
+from rlcf_tpu.models import opt as O
+from rlcf_tpu.tasks import caption as Cap
+from rlcf_tpu.tokenizer_gpt2 import Gpt2Tokenizer
+from rlcf_tpu.core.reward import ClipReward, RewardConfig
+from rlcf_tpu.models import clip as C
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+# ---------------------------------------------------------------------------
+# mapper parity
+# ---------------------------------------------------------------------------
+
+
+def test_transformer_mapper_parity():
+    data = np.load(os.path.join(FIXTURES, "golden_mapper_transformer.npz"))
+    sd = {k[4:]: data[k] for k in data.files if k.startswith("sd::")}
+    cfg = M.MapperConfig("transformer", clip_dim=16, llm_dim=24, prefix_length=5, clip_length=3, num_layers=2)
+    params = M.convert_mapper_state_dict(sd, cfg)
+    out = np.asarray(M.mapper_forward(params, cfg, jnp.asarray(data["x"])))
+    np.testing.assert_allclose(out, data["out"], rtol=2e-4, atol=2e-5)
+
+
+def test_mlp_mapper_parity():
+    data = np.load(os.path.join(FIXTURES, "golden_mapper_mlp.npz"))
+    sd = {k[4:]: data[k] for k in data.files if k.startswith("sd::")}
+    cfg = M.MapperConfig("mlp", clip_dim=16, llm_dim=24, prefix_length=5)
+    params = M.convert_mapper_state_dict(sd, cfg)
+    out = np.asarray(M.mapper_forward(params, cfg, jnp.asarray(data["x"])))
+    np.testing.assert_allclose(out, data["out"], rtol=2e-4, atol=2e-5)
+
+
+def test_encoder_decoder_mapper_shapes():
+    cfg = M.MapperConfig("transformer_encoder_decoder", clip_dim=16, llm_dim=24, prefix_length=5, clip_length=3, num_layers=2, enc_dec_width=32, n_heads=8)
+    params = M.init_mapper_params(jax.random.PRNGKey(0), cfg)
+    out = M.mapper_forward(params, cfg, jnp.zeros((2, 16)))
+    assert out.shape == (2, 5, 24)
+
+
+# ---------------------------------------------------------------------------
+# GPT-2 tokenizer
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tok_files(tmp_path_factory):
+    """Synthetic byte-level vocab: all single bytes + a few merges."""
+    d = tmp_path_factory.mktemp("tok")
+    from rlcf_tpu.tokenizer_gpt2 import _byte_to_unicode
+
+    b2u = _byte_to_unicode()
+    vocab = {"<pad>": 1, "</s>": 2}
+    next_id = 4
+    for ch in b2u.values():
+        if ch not in vocab:
+            vocab[ch] = next_id
+            next_id += 1
+    merges = ["t h", "th e", "Ġ t", "Ġt he"]
+    for m in merges:
+        vocab["".join(m.split())] = next_id
+        next_id += 1
+    (d / "vocab.json").write_text(json.dumps(vocab))
+    (d / "merges.txt").write_text("#version\n" + "\n".join(merges) + "\n")
+    return str(d / "vocab.json"), str(d / "merges.txt")
+
+
+@pytest.fixture(scope="module")
+def tiny_gpt2_tok(tok_files):
+    return Gpt2Tokenizer(*tok_files)
+
+
+def test_gpt2_tokenizer_roundtrip(tiny_gpt2_tok):
+    tok = tiny_gpt2_tok
+    ids = tok.encode("the cat")
+    assert ids[0] == tok.bos_id
+    assert tok.decode(ids) == "the cat"
+    # merges applied: "the" collapses
+    assert len(ids) < 2 + len("the cat")
+
+
+def test_gpt2_batch_encode_padding(tiny_gpt2_tok):
+    ids, mask = tiny_gpt2_tok.batch_encode(["the", "the cat sat"], pad_to=12)
+    assert ids.shape == (2, 12) and mask.shape == (2, 12)
+    assert mask[0].sum() < mask[1].sum()
+    assert (ids[0][mask[0] == 0] == 1).all()
+
+
+def test_gpt2_matches_hf_gpt2_tokenizer(tok_files, tiny_gpt2_tok):
+    """Exact-id parity vs transformers GPT2Tokenizer on the same tiny vocab."""
+    from transformers import GPT2Tokenizer
+
+    hf = GPT2Tokenizer(*tok_files)
+    for text in ["the cat", "hello there", "a theory of things", " the  the "]:
+        ref = hf.encode(text)
+        mine = tiny_gpt2_tok.encode(text, add_bos=False)
+        assert mine == ref, text
+
+
+# ---------------------------------------------------------------------------
+# caption model + trainer + TTA
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_caption():
+    ocfg = O.OPT_CONFIGS["test-tiny-opt"]
+    mcfg = M.MapperConfig("transformer", clip_dim=16, llm_dim=32, prefix_length=4, clip_length=2, num_layers=1, n_heads=2)
+    ccfg = Cap.CaptionModelConfig(mapper=mcfg, opt=ocfg)
+    params = Cap.init_caption_params(jax.random.PRNGKey(0), ccfg)
+    return params, ccfg
+
+
+def test_caption_forward_shapes(tiny_caption):
+    params, ccfg = tiny_caption
+    clip_emb = np.zeros((2, 16), np.float32)
+    tokens = np.array([[2, 5, 9], [2, 8, 3]], dtype=np.int32)
+    logits = Cap.caption_forward(params, ccfg, jnp.asarray(clip_emb), jnp.asarray(tokens))
+    assert logits.shape == (2, 4 + 3, ccfg.opt.vocab_size)
+
+
+def test_caption_ce_ignores_id_zero(tiny_caption):
+    params, ccfg = tiny_caption
+    logits = jnp.asarray(np.random.default_rng(0).normal(size=(1, 4 + 3, ccfg.opt.vocab_size)).astype(np.float32))
+    t1 = jnp.asarray(np.array([[2, 5, 9]], dtype=np.int32))
+    t0 = jnp.asarray(np.array([[2, 5, 0]], dtype=np.int32))
+    l1 = float(Cap.caption_ce(logits, t1, 4))
+    l0 = float(Cap.caption_ce(logits, t0, 4))
+    assert l1 != l0  # masked position dropped from mean
+
+
+def test_supervised_training_reduces_loss(tiny_caption):
+    params, ccfg = tiny_caption
+    tcfg = Cap.TrainConfig(lr=1e-2, warmup_steps=1, total_steps=1000, epochs=3, cap_model="ClipCap")
+    rng = np.random.default_rng(0)
+    prefix = rng.normal(size=(8, 16)).astype(np.float32)
+    tokens = rng.integers(4, 250, size=(8, 6)).astype(np.int32)
+    tokens[:, 0] = 2
+    mask = np.ones((8, 4 + 6), np.int32)
+
+    def data():
+        yield prefix, tokens, mask
+
+    new_params, losses = Cap.train_caption_model(params, ccfg, tcfg, data)
+    assert losses[-1] < losses[0]
+
+
+def test_noise_injection_properties():
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 16)).astype(np.float32))
+    out = Cap.noise_injection(rng, x, variance=0.016)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=-1), 1.0, rtol=1e-5)
+    assert np.abs(np.asarray(out) - np.asarray(x / jnp.linalg.norm(x, axis=-1, keepdims=True))).max() > 1e-3
+    same = Cap.noise_injection(rng, x, variance=0.0)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(x))
+
+
+def test_mapper_checkpoint_roundtrip(tiny_caption, tmp_path):
+    params, ccfg = tiny_caption
+    path = str(tmp_path / "ckpt.npz")
+    Cap.save_mapper_checkpoint(path, params["mapper"], epoch=7)
+    loaded, epoch = Cap.load_mapper_checkpoint(path, params["mapper"])
+    assert epoch == 7
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)), loaded, params["mapper"]
+    )
+
+
+def test_caption_tta_end_to_end(tiny_caption, tiny_gpt2_tok):
+    params, ccfg = tiny_caption
+    # tiny CLIP reward
+    rcfg = C.ClipConfig("tiny-reward", 16, 32, 1, 32, 16, 32, 1, vision_heads_override=2, text_heads_override=2)
+    reward = ClipReward(C.init_clip_params(jax.random.PRNGKey(1), rcfg), rcfg, RewardConfig(sample_k=3))
+    tta = Cap.CaptionTTA(
+        params, ccfg, reward, tiny_gpt2_tok, tta_steps=2, lr=1e-3, sample_k=3, max_new_tokens=6, token_pad_len=10
+    )
+    image = np.random.default_rng(0).normal(size=(32, 32, 3)).astype(np.float32)
+    clip_emb = np.random.default_rng(1).normal(size=(16,)).astype(np.float32)
+    trace = []
+    caption = tta.adapt_image(image, clip_emb, trace=trace)
+    assert isinstance(caption, str)
+    assert len(trace) == 2 and len(trace[0]) == 3  # K sampled captions per step
+    # deterministic reruns (pure reset semantics)
+    caption2 = tta.adapt_image(image, clip_emb)
+    assert caption == caption2
+
+
+def test_caption_predict_only(tiny_caption, tiny_gpt2_tok):
+    params, ccfg = tiny_caption
+    rcfg = C.ClipConfig("tiny-reward", 16, 32, 1, 32, 16, 32, 1, vision_heads_override=2, text_heads_override=2)
+    reward = ClipReward(C.init_clip_params(jax.random.PRNGKey(1), rcfg), rcfg, RewardConfig(sample_k=3))
+    tta = Cap.CaptionTTA(params, ccfg, reward, tiny_gpt2_tok, tta_steps=0, sample_k=3, max_new_tokens=6)
+    caps = tta.predict_only(np.zeros((2, 16), np.float32))
+    assert len(caps) == 2

@@ -1,0 +1,77 @@
+"""Caption metrics: sanity + cross-checks against available oracles."""
+
+import numpy as np
+import pytest
+
+from rlcf_tpu.metrics.caption_metrics import bleu, cider_d, get_all_metrics, meteor, ptb_tokenize, rouge_l
+from rlcf_tpu.metrics.clipscore import clip_score
+
+REFS = [
+    ["a man is riding a wave on a surfboard", "a surfer rides a large wave"],
+    ["two dogs play in the snow", "dogs playing in snowy weather"],
+    ["a red car parked on the street", "a red automobile on the road"],
+]
+PERFECT = [r[0] for r in REFS]
+CANDS = [
+    "a man rides a wave on his surfboard",
+    "two dogs are playing in the snow",
+    "a blue bike leaning on a wall",
+]
+
+
+def test_perfect_candidates_score_one():
+    b = bleu(REFS, PERFECT)
+    assert all(abs(x - 1.0) < 1e-9 for x in b)
+    assert abs(rouge_l(REFS, PERFECT) - 1.0) < 1e-9
+    assert cider_d(REFS, PERFECT) > cider_d(REFS, CANDS)
+
+
+def test_bleu_monotone_and_ordered():
+    b = bleu(REFS, CANDS)
+    assert len(b) == 4
+    # higher-order BLEU never exceeds lower-order
+    assert b[0] >= b[1] >= b[2] >= b[3] >= 0
+    assert 0 < b[0] <= 1
+
+
+def test_bleu_matches_nltk_corpus_bleu():
+    """Cross-check BLEU-1..4 against nltk's corpus_bleu (closest ref length).
+
+    Candidates share 4-grams with refs so no zero-count smoothing divergence.
+    """
+    from nltk.translate.bleu_score import corpus_bleu
+
+    cands = ["a man is riding a big wave on a surfboard", "two dogs play in the deep snow", CANDS[2]]
+    refs_tok = [[ptb_tokenize(r) for r in refs] for refs in REFS]
+    cands_tok = [ptb_tokenize(c) for c in cands]
+    mine = bleu(REFS, cands)
+    for n in range(1, 5):
+        ref_n = corpus_bleu(refs_tok, cands_tok, weights=tuple([1.0 / n] * n))
+        assert abs(mine[n - 1] - ref_n) < 1e-9, n
+
+
+def test_rouge_between_zero_and_one():
+    r = rouge_l(REFS, CANDS)
+    assert 0 <= r <= 1
+    # the unrelated third candidate drags the average below perfect
+    assert r < rouge_l(REFS[:2], CANDS[:2])
+
+
+def test_meteor_runs():
+    m = meteor(REFS, CANDS)
+    assert 0 <= m <= 1
+    assert meteor(REFS, PERFECT) > m
+
+
+def test_get_all_metrics_keys():
+    out = get_all_metrics(REFS, CANDS)
+    assert set(out) == {"bleu", "meteor", "rouge", "cider"}
+    assert len(out["bleu"]) == 4
+
+
+def test_clip_score_math():
+    img = np.array([[1.0, 0.0], [0.0, 1.0]])
+    cap = np.array([[1.0, 0.0], [-1.0, 0.0]])
+    mean, per = clip_score(img, cap, w=2.5)
+    np.testing.assert_allclose(per, [2.5, 0.0])
+    assert mean == 1.25
