@@ -1,0 +1,413 @@
+// rlcf_host: native host-side image pipeline for rlcf-tpu.
+//
+// Replaces the reference's PIL/DataLoader-worker augmentation path
+// (TPT/data/datautils.py + augmix_ops.py) with a C++ implementation of the
+// same operations for hosts where Python-side preprocessing is the
+// bottleneck: bilinear/bicubic resize, center crop, RandomResizedCrop +
+// horizontal flip, the 9 AugMix ops, Dirichlet/Beta mixing, and CLIP
+// normalization. A std::thread pool fans work across images.
+//
+// Exposed as a C ABI consumed via ctypes (rlcf_tpu/data/native.py).
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <random>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr float kClipMean[3] = {0.48145466f, 0.4578275f, 0.40821073f};
+constexpr float kClipStd[3] = {0.26862954f, 0.26130258f, 0.27577711f};
+
+struct ImageU8 {
+  std::vector<uint8_t> data;
+  int h = 0, w = 0;
+  uint8_t* px(int y, int x) { return data.data() + (static_cast<size_t>(y) * w + x) * 3; }
+  const uint8_t* px(int y, int x) const {
+    return data.data() + (static_cast<size_t>(y) * w + x) * 3;
+  }
+};
+
+inline uint8_t clamp_u8(float v) {
+  return static_cast<uint8_t>(std::min(255.0f, std::max(0.0f, v + 0.5f)));
+}
+
+// --- resampling -----------------------------------------------------------
+
+inline float cubic_weight(float x) {
+  // Catmull-Rom style kernel with a = -0.5 (PIL's bicubic).
+  const float a = -0.5f;
+  x = std::fabs(x);
+  if (x < 1.0f) return ((a + 2.0f) * x - (a + 3.0f)) * x * x + 1.0f;
+  if (x < 2.0f) return (((x - 5.0f) * x + 8.0f) * x - 4.0f) * a;
+  return 0.0f;
+}
+
+// General separable resize of the box [bx0,by0,bx1,by1] to (out_w,out_h).
+// kernel_radius: 1 = bilinear, 2 = bicubic. Antialiases on downscale by
+// stretching the kernel (PIL semantics).
+void resize_box(const ImageU8& src, ImageU8& dst, float bx0, float by0, float bx1, float by1,
+                int out_w, int out_h, int kernel_radius) {
+  dst.h = out_h;
+  dst.w = out_w;
+  dst.data.assign(static_cast<size_t>(out_w) * out_h * 3, 0);
+  const float scale_x = (bx1 - bx0) / out_w;
+  const float scale_y = (by1 - by0) / out_h;
+  const float support_x = kernel_radius * std::max(1.0f, scale_x);
+  const float support_y = kernel_radius * std::max(1.0f, scale_y);
+  const float inv_sx = 1.0f / std::max(1.0f, scale_x);
+  const float inv_sy = 1.0f / std::max(1.0f, scale_y);
+
+  // horizontal pass into a float intermediate
+  std::vector<float> tmp(static_cast<size_t>(src.h) * out_w * 3, 0.0f);
+  std::vector<float> weights;
+  for (int ox = 0; ox < out_w; ++ox) {
+    const float center = bx0 + (ox + 0.5f) * scale_x;
+    int x_min = std::max(0, static_cast<int>(std::floor(center - support_x)));
+    int x_max = std::min(src.w - 1, static_cast<int>(std::ceil(center + support_x)));
+    weights.clear();
+    float total = 0.0f;
+    for (int x = x_min; x <= x_max; ++x) {
+      float w = (kernel_radius == 1)
+                    ? std::max(0.0f, 1.0f - std::fabs((x + 0.5f - center) * inv_sx))
+                    : cubic_weight((x + 0.5f - center) * inv_sx);
+      weights.push_back(w);
+      total += w;
+    }
+    if (total <= 0.0f) total = 1.0f;
+    for (int y = 0; y < src.h; ++y) {
+      float acc[3] = {0, 0, 0};
+      for (int x = x_min; x <= x_max; ++x) {
+        const float w = weights[x - x_min];
+        const uint8_t* p = src.px(y, x);
+        acc[0] += w * p[0];
+        acc[1] += w * p[1];
+        acc[2] += w * p[2];
+      }
+      float* t = tmp.data() + (static_cast<size_t>(y) * out_w + ox) * 3;
+      t[0] = acc[0] / total;
+      t[1] = acc[1] / total;
+      t[2] = acc[2] / total;
+    }
+  }
+  // vertical pass
+  for (int oy = 0; oy < out_h; ++oy) {
+    const float center = by0 + (oy + 0.5f) * scale_y;
+    int y_min = std::max(0, static_cast<int>(std::floor(center - support_y)));
+    int y_max = std::min(src.h - 1, static_cast<int>(std::ceil(center + support_y)));
+    weights.clear();
+    float total = 0.0f;
+    for (int y = y_min; y <= y_max; ++y) {
+      float w = (kernel_radius == 1)
+                    ? std::max(0.0f, 1.0f - std::fabs((y + 0.5f - center) * inv_sy))
+                    : cubic_weight((y + 0.5f - center) * inv_sy);
+      weights.push_back(w);
+      total += w;
+    }
+    if (total <= 0.0f) total = 1.0f;
+    for (int ox = 0; ox < out_w; ++ox) {
+      float acc[3] = {0, 0, 0};
+      for (int y = y_min; y <= y_max; ++y) {
+        const float w = weights[y - y_min];
+        const float* t = tmp.data() + (static_cast<size_t>(y) * out_w + ox) * 3;
+        acc[0] += w * t[0];
+        acc[1] += w * t[1];
+        acc[2] += w * t[2];
+      }
+      uint8_t* d = dst.px(oy, ox);
+      d[0] = clamp_u8(acc[0] / total);
+      d[1] = clamp_u8(acc[1] / total);
+      d[2] = clamp_u8(acc[2] / total);
+    }
+  }
+}
+
+// --- affine (PIL AFFINE semantics: out(x,y) <- in(a x + b y + c, ...)) -----
+
+void affine_bilinear(const ImageU8& src, ImageU8& dst, float a, float b, float c, float d,
+                     float e, float f) {
+  dst.h = src.h;
+  dst.w = src.w;
+  dst.data.assign(src.data.size(), 0);
+  for (int y = 0; y < src.h; ++y) {
+    for (int x = 0; x < src.w; ++x) {
+      const float in_x = a * (x + 0.5f) + b * (y + 0.5f) + c - 0.5f;
+      const float in_y = d * (x + 0.5f) + e * (y + 0.5f) + f - 0.5f;
+      const int x0 = static_cast<int>(std::floor(in_x));
+      const int y0 = static_cast<int>(std::floor(in_y));
+      const float wx = in_x - x0;
+      const float wy = in_y - y0;
+      float acc[3] = {0, 0, 0};
+      for (int dy = 0; dy < 2; ++dy) {
+        for (int dx = 0; dx < 2; ++dx) {
+          const int sx = x0 + dx;
+          const int sy = y0 + dy;
+          if (sx < 0 || sx >= src.w || sy < 0 || sy >= src.h) continue;
+          const float w = (dx ? wx : 1 - wx) * (dy ? wy : 1 - wy);
+          const uint8_t* p = src.px(sy, sx);
+          acc[0] += w * p[0];
+          acc[1] += w * p[1];
+          acc[2] += w * p[2];
+        }
+      }
+      uint8_t* o = dst.px(y, x);
+      o[0] = clamp_u8(acc[0] - 0.5f);
+      o[1] = clamp_u8(acc[1] - 0.5f);
+      o[2] = clamp_u8(acc[2] - 0.5f);
+    }
+  }
+}
+
+// --- AugMix base ops (augmix_ops.py semantics, severity-parameterized) -----
+
+void op_autocontrast(ImageU8& img) {
+  for (int ch = 0; ch < 3; ++ch) {
+    int lo = 255, hi = 0;
+    for (size_t i = ch; i < img.data.size(); i += 3) {
+      lo = std::min<int>(lo, img.data[i]);
+      hi = std::max<int>(hi, img.data[i]);
+    }
+    if (hi <= lo) continue;
+    uint8_t lut[256];
+    for (int v = 0; v < 256; ++v) {
+      const float scaled = (v - lo) * 255.0f / (hi - lo);
+      lut[v] = static_cast<uint8_t>(std::min(255.0f, std::max(0.0f, std::floor(scaled + 1e-3f))));
+    }
+    for (size_t i = ch; i < img.data.size(); i += 3) img.data[i] = lut[img.data[i]];
+  }
+}
+
+void op_equalize(ImageU8& img) {
+  for (int ch = 0; ch < 3; ++ch) {
+    int hist[256] = {0};
+    for (size_t i = ch; i < img.data.size(); i += 3) hist[img.data[i]]++;
+    int last_nz = 0;
+    long total = 0;
+    for (int v = 0; v < 256; ++v) {
+      total += hist[v];
+      if (hist[v]) last_nz = v;
+    }
+    const long step = (total - hist[last_nz]) / 255;
+    if (step == 0) continue;
+    uint8_t lut[256];
+    long n = step / 2;
+    for (int v = 0; v < 256; ++v) {
+      lut[v] = static_cast<uint8_t>(std::min<long>(255, std::max<long>(0, n / step)));
+      n += hist[v];
+    }
+    for (size_t i = ch; i < img.data.size(); i += 3) img.data[i] = lut[img.data[i]];
+  }
+}
+
+void op_posterize(ImageU8& img, int bits) {
+  const uint8_t mask = static_cast<uint8_t>((0xFF00 >> bits) & 0xFF);
+  for (auto& v : img.data) v &= mask;
+}
+
+void op_solarize(ImageU8& img, int threshold) {
+  for (auto& v : img.data)
+    if (v >= threshold) v = static_cast<uint8_t>(255 - v);
+}
+
+// --- RNG matching numpy-ish distributions ---------------------------------
+
+struct Rng {
+  std::mt19937_64 gen;
+  explicit Rng(uint64_t seed) : gen(seed) {}
+  float uniform(float lo = 0.0f, float hi = 1.0f) {
+    return std::uniform_real_distribution<float>(lo, hi)(gen);
+  }
+  int randint(int lo, int hi) {  // [lo, hi)
+    return std::uniform_int_distribution<int>(lo, hi - 1)(gen);
+  }
+  float gamma1() { return std::gamma_distribution<float>(1.0f, 1.0f)(gen); }
+};
+
+float sample_level(Rng& rng, float severity) { return rng.uniform(0.1f, severity); }
+
+void apply_random_op(ImageU8& img, Rng& rng, float severity, int image_size) {
+  const int op = rng.randint(0, 9);
+  const float level = sample_level(rng, severity);
+  const float sign = rng.uniform() > 0.5f ? 1.0f : -1.0f;
+  ImageU8 out;
+  switch (op) {
+    case 0: op_autocontrast(img); return;
+    case 1: op_equalize(img); return;
+    case 2: op_posterize(img, 4 - static_cast<int>(level * 4 / 10)); return;
+    case 3: {
+      const float deg = sign * static_cast<int>(level * 30 / 10);
+      const float rad = -deg * 3.14159265358979323846f / 180.0f;
+      const float cx = img.w / 2.0f, cy = img.h / 2.0f;
+      const float ca = std::cos(rad), sa = std::sin(rad);
+      affine_bilinear(img, out, ca, sa, cx - cx * ca - cy * sa, -sa, ca, cy + cx * sa - cy * ca);
+      img = std::move(out);
+      return;
+    }
+    case 4: op_solarize(img, 256 - static_cast<int>(level * 256 / 10)); return;
+    case 5: {
+      const float lv = sign * (level * 0.3f / 10.0f);
+      affine_bilinear(img, out, 1, lv, 0, 0, 1, 0);
+      img = std::move(out);
+      return;
+    }
+    case 6: {
+      const float lv = sign * (level * 0.3f / 10.0f);
+      affine_bilinear(img, out, 1, 0, 0, lv, 1, 0);
+      img = std::move(out);
+      return;
+    }
+    case 7: {
+      const float lv = sign * static_cast<int>(level * (image_size / 3.0f) / 10.0f);
+      affine_bilinear(img, out, 1, 0, lv, 0, 1, 0);
+      img = std::move(out);
+      return;
+    }
+    default: {
+      const float lv = sign * static_cast<int>(level * (image_size / 3.0f) / 10.0f);
+      affine_bilinear(img, out, 1, 0, 0, 0, 1, lv);
+      img = std::move(out);
+      return;
+    }
+  }
+}
+
+void random_resized_crop(const ImageU8& src, ImageU8& dst, Rng& rng, int size, float scale_min,
+                         float scale_max) {
+  const float area = static_cast<float>(src.w) * src.h;
+  for (int attempt = 0; attempt < 10; ++attempt) {
+    const float target = rng.uniform(scale_min, scale_max) * area;
+    const float log_r = rng.uniform(std::log(3.0f / 4.0f), std::log(4.0f / 3.0f));
+    const float aspect = std::exp(log_r);
+    const int w = static_cast<int>(std::sqrt(target * aspect));
+    const int h = static_cast<int>(std::sqrt(target / aspect));
+    if (w > 0 && h > 0 && w <= src.w && h <= src.h) {
+      const int left = rng.randint(0, src.w - w + 1);
+      const int top = rng.randint(0, src.h - h + 1);
+      resize_box(src, dst, left, top, left + w, top + h, size, size, 1);
+      return;
+    }
+  }
+  const int side = std::min(src.w, src.h);
+  const int left = (src.w - side) / 2, top = (src.h - side) / 2;
+  resize_box(src, dst, left, top, left + side, top + side, size, size, 1);
+}
+
+void hflip(ImageU8& img) {
+  for (int y = 0; y < img.h; ++y)
+    for (int x = 0; x < img.w / 2; ++x)
+      for (int ch = 0; ch < 3; ++ch) std::swap(img.px(y, x)[ch], img.px(y, img.w - 1 - x)[ch]);
+}
+
+void normalize_into(const ImageU8& img, float* out) {
+  const size_t n = static_cast<size_t>(img.h) * img.w;
+  for (size_t i = 0; i < n; ++i)
+    for (int ch = 0; ch < 3; ++ch)
+      out[i * 3 + ch] = (img.data[i * 3 + ch] / 255.0f - kClipMean[ch]) / kClipStd[ch];
+}
+
+void generate_views_one(const uint8_t* image, int h, int w, int n_views, int resolution,
+                        int augmix, float severity, float crop_min, uint64_t seed, float* out) {
+  ImageU8 src;
+  src.h = h;
+  src.w = w;
+  src.data.assign(image, image + static_cast<size_t>(h) * w * 3);
+  const size_t view_stride = static_cast<size_t>(resolution) * resolution * 3;
+  Rng rng(seed);
+
+  // view 0: bicubic short-side resize + center crop
+  ImageU8 base;
+  {
+    float bx0 = 0, by0 = 0, bx1 = w, by1 = h;
+    const float side = std::min(w, h);
+    bx0 = (w - side) / 2.0f;
+    by0 = (h - side) / 2.0f;
+    resize_box(src, base, bx0, by0, bx0 + side, by0 + side, resolution, resolution, 2);
+  }
+  normalize_into(base, out);
+
+  for (int v = 1; v < n_views; ++v) {
+    ImageU8 x_orig;
+    random_resized_crop(src, x_orig, rng, resolution, crop_min, 1.0f);
+    if (rng.uniform() < 0.5f) hflip(x_orig);
+    float* dst = out + v * view_stride;
+    if (!augmix) {
+      normalize_into(x_orig, dst);
+      continue;
+    }
+    // Dirichlet(1,1,1) weights + Beta(1,1) mix
+    float g[3] = {rng.gamma1(), rng.gamma1(), rng.gamma1()};
+    const float gsum = g[0] + g[1] + g[2];
+    const float m = rng.uniform();
+    std::vector<float> mixed(view_stride, 0.0f);
+    std::vector<float> chain_norm(view_stride);
+    for (int chain = 0; chain < 3; ++chain) {
+      ImageU8 x_aug = x_orig;
+      const int depth = rng.randint(1, 4);
+      for (int step = 0; step < depth; ++step) apply_random_op(x_aug, rng, severity, resolution);
+      normalize_into(x_aug, chain_norm.data());
+      const float wc = g[chain] / gsum;
+      for (size_t i = 0; i < view_stride; ++i) mixed[i] += wc * chain_norm[i];
+    }
+    normalize_into(x_orig, chain_norm.data());
+    for (size_t i = 0; i < view_stride; ++i) dst[i] = m * chain_norm[i] + (1 - m) * mixed[i];
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batch API: images [N, H, W, 3] u8 -> out [N, n_views, R, R, 3] f32.
+void rlcf_generate_views_batch(const uint8_t* images, int n, int h, int w, int n_views,
+                               int resolution, int augmix, float severity, float crop_min,
+                               uint64_t seed, float* out, int n_threads) {
+  const size_t in_stride = static_cast<size_t>(h) * w * 3;
+  const size_t out_stride = static_cast<size_t>(n_views) * resolution * resolution * 3;
+  if (n_threads <= 0) n_threads = std::max(1u, std::thread::hardware_concurrency());
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    while (true) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+      generate_views_one(images + i * in_stride, h, w, n_views, resolution, augmix, severity,
+                         crop_min, seed * 0x9E3779B97F4A7C15ull + i, out + i * out_stride);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < std::min(n_threads, n); ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
+
+// Eval transform: bicubic short-side resize + center crop + normalize.
+void rlcf_preprocess_batch(const uint8_t* images, int n, int h, int w, int resolution,
+                           float* out, int n_threads) {
+  const size_t in_stride = static_cast<size_t>(h) * w * 3;
+  const size_t out_stride = static_cast<size_t>(resolution) * resolution * 3;
+  if (n_threads <= 0) n_threads = std::max(1u, std::thread::hardware_concurrency());
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    while (true) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+      ImageU8 src;
+      src.h = h;
+      src.w = w;
+      src.data.assign(images + i * in_stride, images + (i + 1) * in_stride);
+      ImageU8 dst;
+      const float side = std::min(w, h);
+      resize_box(src, dst, (w - side) / 2.0f, (h - side) / 2.0f, (w + side) / 2.0f,
+                 (h + side) / 2.0f, resolution, resolution, 2);
+      normalize_into(dst, out + i * out_stride);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < std::min(n_threads, n); ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
+
+int rlcf_native_version() { return 1; }
+}

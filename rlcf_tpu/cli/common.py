@@ -1,0 +1,123 @@
+"""Shared CLI plumbing: argument surface and model/reward construction.
+
+The flag surface mirrors the reference parsers (`TPT/params.py:13-98`,
+`retrieval/params.py:7-57`, `caption/image_llm/params.py:8-110`) so reference
+users can carry their scripts over; checkpoint paths are optional — without
+them models are randomly initialized (this environment has no checkpoint
+egress) with a loud warning, which still exercises the full pipelines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def add_model_args(p: argparse.ArgumentParser):
+    p.add_argument("--arch", "-a", default="ViT-B/16", help="policy CLIP architecture")
+    p.add_argument("--clip_checkpoint", default=None, help="OpenAI CLIP .pt for the policy")
+    p.add_argument("--resolution", default=224, type=int)
+    p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+
+
+def add_reward_args(p: argparse.ArgumentParser):
+    p.add_argument("--reward_arch", default="ViT-L/14")
+    p.add_argument("--reward_checkpoint", default=None)
+    p.add_argument("--multiple_reward_models", type=int, default=0)
+    p.add_argument("--reward_checkpoints", nargs="*", default=None, help="ckpts for the ensemble archs")
+    p.add_argument("--sample_k", type=int, default=5)
+    p.add_argument("--reward_process", type=int, default=1)
+    p.add_argument("--process_batch", type=int, default=0)
+    p.add_argument("--reward_amplify", type=int, default=0)
+    p.add_argument("--weighted_scores", type=int, default=1)
+
+
+def add_tta_args(p: argparse.ArgumentParser):
+    p.add_argument("--tta_steps", type=int, default=1)
+    p.add_argument("--selection_p", type=float, default=0.1)
+    p.add_argument("--lr", type=float, default=5e-3)
+    p.add_argument("--weight_decay", type=float, default=5e-4)
+    p.add_argument("--batch_size", type=int, default=64, help="views per sample (1 base + N-1 augmented)")
+    p.add_argument("--n_ctx", type=int, default=4)
+    p.add_argument("--ctx_init", default=None, type=str)
+    p.add_argument("--load", default=None, type=str, help="pretrained CoOp prompt checkpoint")
+    p.add_argument("--augmix", type=int, default=1)
+    p.add_argument("--hard_aug", type=int, default=0)
+    p.add_argument("--min_entropy_reg", type=int, default=0)
+    p.add_argument("--min_entropy_w", type=float, default=0.1)
+    p.add_argument("--momentum_update", type=int, default=0)
+    p.add_argument("--update_freq", type=int, default=256)
+    p.add_argument("--update_w", type=float, default=1.0)
+    p.add_argument("--tta_momentum", type=float, default=0.9999)
+    p.add_argument("--tune_norm", type=int, default=0)
+    p.add_argument("--prior_strength", type=float, default=-1)
+    p.add_argument("--kd_loss", default="KD", choices=["KD", "DKD", "ATKD"])
+    p.add_argument("--episode_group", type=int, default=4, help="episodes run in parallel per device batch")
+
+
+def add_run_args(p: argparse.ArgumentParser):
+    p.add_argument("data", metavar="DIR", nargs="?", default=".", help="dataset root")
+    p.add_argument("--test_sets", default="A", help="slash-separated dataset ids; 'synthetic' works without data")
+    p.add_argument("--dataset_mode", default="test")
+    p.add_argument("--output", default="exp_01")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--limit", type=int, default=None, help="cap on evaluated samples")
+    p.add_argument("--print_freq", "-p", type=int, default=500)
+    p.add_argument("--corruption", default="defocus_blur")
+    p.add_argument("--level", default="5")
+
+
+def load_policy(args):
+    import jax
+    import jax.numpy as jnp
+    from ..models import clip as clip_model
+    from ..models.convert import load_clip_checkpoint
+
+    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    if args.clip_checkpoint and os.path.exists(args.clip_checkpoint):
+        params, cfg = load_clip_checkpoint(args.clip_checkpoint, dtype=dtype)
+    else:
+        print(
+            f"WARNING: no --clip_checkpoint; initializing {args.arch} randomly "
+            "(throughput-realistic, accuracy-meaningless)",
+            file=sys.stderr,
+        )
+        cfg = clip_model.get_config(args.arch)
+        params = jax.jit(lambda k: clip_model.init_clip_params(k, cfg, dtype=dtype))(jax.random.PRNGKey(args.seed))
+    return params, cfg
+
+
+def build_reward(args):
+    import jax
+    import jax.numpy as jnp
+    from ..core.reward import ClipReward, ClipRewardEnsemble, RewardConfig, build_reward_model
+
+    rcfg = RewardConfig(
+        sample_k=args.sample_k,
+        reward_process=bool(args.reward_process),
+        process_batch=bool(args.process_batch),
+        amplify=bool(args.reward_amplify),
+        default_resolution=args.resolution,
+    )
+    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    if args.multiple_reward_models:
+        archs = ["ViT-L/14@336px", "RN50x64", "ViT-L/14"]
+        ckpts = args.reward_checkpoints or [None] * len(archs)
+        members = [
+            build_reward_model(a, rcfg, checkpoint=c, rng_seed=i + 1, dtype=dtype)
+            for i, (a, c) in enumerate(zip(archs, ckpts))
+        ]
+        return ClipRewardEnsemble(members, rcfg, weighted=bool(args.weighted_scores))
+    if not args.reward_checkpoint:
+        print(
+            f"WARNING: no --reward_checkpoint; initializing {args.reward_arch} randomly",
+            file=sys.stderr,
+        )
+    return build_reward_model(args.reward_arch, rcfg, checkpoint=args.reward_checkpoint, rng_seed=1, dtype=dtype)
+
+
+def enable_cache():
+    from ..utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()

@@ -1,0 +1,127 @@
+"""RLCF / TPT / KD prompt test-time adaptation for classification.
+
+The `TPT/tpt_cls_rl.py` / `tpt_cls.py` / `tune_cls_kd.py` entry point family:
+per test image, generate the augmented view batch on device, run a REINFORCE
+(or entropy / KD) episode over the CoOp prompt, and score the adapted
+prediction. Episodes run ``--episode_group`` at a time (vmapped).
+
+Example (no data / checkpoints required):
+  python -m rlcf_tpu.cli.tta_cls --test_sets synthetic --limit 8 \
+      --arch ViT-B/16 --reward_arch ViT-B/16 --tta_steps 3 --batch_size 16 \
+      --ctx_init a_photo_of_a --loss rlcf
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+from . import common
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description="RLCF prompt TTA (TPU)")
+    common.add_run_args(p)
+    common.add_model_args(p)
+    common.add_reward_args(p)
+    common.add_tta_args(p)
+    p.add_argument("--loss", default="rlcf", choices=["rlcf", "tpt", "kd", "dkd", "atkd"])
+    p.add_argument("--tpt", action="store_true", help="compat flag: TPT entropy loss")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = get_args(argv)
+    if args.tpt and args.loss == "rlcf":
+        args.loss = "tpt"
+    common.enable_cache()
+
+    import jax
+    import jax.numpy as jnp
+    from ..core.episode import EpisodeConfig
+    from ..core.prompt import load_coop_ctx
+    from ..data.augment import make_view_generator
+    from ..data.class_names import get_classnames
+    from ..data.datasets import build_dataset, iter_raw
+    from ..metrics.classification import AccuracyMeter
+    from ..tasks.classification import PromptTTAClassifier
+    from ..utils.config import save_hparams
+    from ..utils.logging_utils import RunLogger
+
+    logger = RunLogger(args.output)
+    save_hparams(args.output, vars(args))
+    params, cfg = common.load_policy(args)
+    reward = common.build_reward(args)
+    kd_map = {"KD": "kd", "DKD": "dkd", "ATKD": "atkd"}
+    loss = kd_map[args.kd_loss] if args.loss in ("kd", "dkd", "atkd") else args.loss
+    ecfg = EpisodeConfig(
+        tta_steps=args.tta_steps,
+        selection_p=args.selection_p,
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        loss=loss,
+        sample_k=args.sample_k,
+        min_entropy_reg=bool(args.min_entropy_reg),
+        min_entropy_w=args.min_entropy_w,
+    )
+    ctx0 = load_coop_ctx(args.load) if args.load else None
+    clf = PromptTTAClassifier(
+        params, cfg, reward, ecfg, ctx_init=args.ctx_init or "a photo of a", n_ctx=args.n_ctx, ctx0=ctx0
+    )
+    gen = make_view_generator(
+        n_views=args.batch_size, resolution=args.resolution, augmix=bool(args.augmix)
+    )
+
+    results = {}
+    for set_id in args.test_sets.split("/"):
+        t0 = time.time()
+        classnames = ["class_%d" % i for i in range(10)] if set_id == "synthetic" else get_classnames(set_id)
+        clf.setup(classnames)
+        dataset = build_dataset(set_id, args.data, mode=args.dataset_mode, corruption=args.corruption, level=args.level)
+        meter = AccuracyMeter()
+        group_imgs, group_labels = [], []
+        rng_counter = 0
+
+        def flush():
+            nonlocal rng_counter
+            if not group_imgs:
+                return
+            imgs = np.stack(
+                [_to_canonical(im, 256) for im in group_imgs]
+            )
+            keys = jax.random.split(jax.random.PRNGKey(args.seed * 100003 + rng_counter), len(group_imgs))
+            rng_counter += 1
+            views = gen(jnp.asarray(imgs), keys)
+            logits, _ = clf.adapt(views)
+            meter.update(np.asarray(logits), np.asarray(group_labels))
+            group_imgs.clear()
+            group_labels.clear()
+
+        for img, label in iter_raw(dataset, seed=args.seed, limit=args.limit):
+            group_imgs.append(img)
+            group_labels.append(label)
+            if len(group_imgs) == args.episode_group:
+                flush()
+        flush()
+        results[set_id] = meter.summary()
+        logger.text(
+            logger.elapsed_line(f"dataset {set_id}"),
+            f"=> Acc. on testset [{set_id}]: @1 {results[set_id]['top1']} / @5 {results[set_id]['top5']}",
+        )
+        _ = t0
+    logger.results_json(results)
+    print("======== Result Summary ========", results)
+    return results
+
+
+def _to_canonical(img: np.ndarray, size: int) -> np.ndarray:
+    """Host: decode-side resize to the canonical square for the device pipeline."""
+    from ..data.transforms import resize_short_side_pil, center_crop
+
+    return center_crop(resize_short_side_pil(img, size), size)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Retrieval test-time adaptation (`retrieval/clip_ret_policy.py`).
+
+Runs one or both directions over a karpathy-format annotation file; with
+``--synthetic`` it fabricates a tiny gallery so the pipeline runs without
+data. Outputs ``results_{direction}.json`` + R@k metrics.
+
+Example: python -m rlcf_tpu.cli.tta_retrieval --synthetic \
+    --arch ViT-B/16 --reward_arch ViT-B/16 --tta_steps 2 --sample_k 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from . import common
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description="RLCF retrieval TTA (TPU)")
+    common.add_run_args(p)
+    common.add_model_args(p)
+    common.add_reward_args(p)
+    common.add_tta_args(p)
+    p.add_argument("--retrieval_task", default="both", choices=["image2text", "text2image", "both"])
+    p.add_argument("--annotations", default=None, help="karpathy-format annotation json")
+    p.add_argument("--vis_root", default="", help="image root joined with annotation paths")
+    p.add_argument("--synthetic", action="store_true", help="tiny fabricated gallery (no data needed)")
+    p.add_argument("--group_size", type=int, default=4)
+    return p.parse_args(argv)
+
+
+def _synthetic_gallery(n_images=6, caps_per_image=2, res=224):
+    from ..tasks.retrieval import RetrievalGallery
+
+    rng = np.random.default_rng(0)
+    texts, img2txt, txt2img = [], {}, {}
+    tid = 0
+    subjects = ["a dog", "a cat", "a car", "a tree", "a boat", "a bird", "a house", "a bike"]
+    for i in range(n_images):
+        img2txt[i] = []
+        for c in range(caps_per_image):
+            texts.append(f"{subjects[i % len(subjects)]} photographed outdoors, variant {c}")
+            img2txt[i].append(tid)
+            txt2img[tid] = i
+            tid += 1
+    images = rng.normal(size=(n_images, res, res, 3)).astype(np.float32)
+    return RetrievalGallery([f"synthetic_{i}.jpg" for i in range(n_images)], texts, img2txt, txt2img), images
+
+
+def main(argv=None):
+    args = get_args(argv)
+    common.enable_cache()
+    from ..core.episode import EpisodeConfig
+    from ..data.transforms import preprocess_pil
+    from ..metrics.retrieval import retrieval_metrics
+    from ..tasks.retrieval import RetrievalTTA, load_karpathy_annotations, encode_image_gallery
+    from ..tokenizer import tokenize
+    from ..utils.config import save_hparams
+    from ..utils.logging_utils import RunLogger
+
+    logger = RunLogger(args.output)
+    save_hparams(args.output, vars(args), name="hparams_retrieval.json")
+    params, cfg = common.load_policy(args)
+    reward = common.build_reward(args)
+    ecfg = EpisodeConfig(
+        tta_steps=args.tta_steps, lr=args.lr, weight_decay=args.weight_decay,
+        sample_k=args.sample_k, adam_eps=1e-6,
+    )
+
+    if args.synthetic:
+        gallery, images = _synthetic_gallery(res=args.resolution)
+        image_batches = lambda: [images]
+    else:
+        gallery = load_karpathy_annotations(args.annotations, args.vis_root)
+
+        def image_batches(batch=32):
+            buf = []
+            for path in gallery.image_paths:
+                buf.append(preprocess_pil(path, args.resolution))
+                if len(buf) == batch:
+                    yield np.stack(buf)
+                    buf = []
+            if buf:
+                yield np.stack(buf)
+
+        images = None
+
+    n_img, n_txt = len(gallery.image_paths), len(gallery.texts)
+    scores_i2t = scores_t2i = None
+    momentum_kw = dict(
+        momentum_update=bool(args.momentum_update), update_freq=args.update_freq,
+        update_w=args.update_w, momentum=args.tta_momentum,
+    )
+
+    if args.retrieval_task in ("image2text", "both"):
+        tta = RetrievalTTA(params, cfg, reward, ecfg, direction="i2t", **momentum_kw).set_text_gallery(gallery.texts)
+        queries = iter(images) if args.synthetic else (preprocess_pil(p, args.resolution) for p in gallery.image_paths)
+        scores_i2t = tta.run(queries, n_img, n_txt, group_size=args.group_size)
+    if args.retrieval_task in ("text2image", "both"):
+        tta = RetrievalTTA(params, cfg, reward, ecfg, direction="t2i", **momentum_kw)
+        tta.set_image_gallery(image_batches(), image_batches())
+        tokens = tokenize(gallery.texts, truncate=True)
+        scores_t2i = tta.run(iter(tokens), n_txt, n_img, group_size=args.group_size)
+
+    if scores_i2t is not None and scores_t2i is not None:
+        metrics = retrieval_metrics(scores_i2t, scores_t2i, gallery.txt2img, gallery.img2txt)
+        metrics = {k: round(v, 3) for k, v in metrics.items()}
+        logger.result_line(metrics)
+        with open(os.path.join(args.output, "results_retrieval.json"), "w") as fh:
+            json.dump(metrics, fh, indent=4)
+        print(metrics)
+        return metrics
+    print("single-direction run complete; score matrix saved")
+    np.save(os.path.join(args.output, f"scores_{args.retrieval_task}.npy"), scores_i2t if scores_i2t is not None else scores_t2i)
+    return None
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""ctypes bindings for the native host image pipeline (native/rlcf_host.cpp).
+
+Builds the shared library on first use (g++, cached next to the source) and
+exposes batch view generation / eval preprocessing with a thread pool. Falls
+back cleanly (ImportError-style RuntimeError) when no toolchain exists; the
+JAX device pipeline (`rlcf_tpu/data/augment.py`) is the default path anyway.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "librlcf_host.so")
+
+
+def _build():
+    src = os.path.join(_NATIVE_DIR, "rlcf_host.cpp")
+    if not os.path.exists(src):
+        raise RuntimeError(f"native source not found at {src}")
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared", "-pthread", "-o", _LIB_PATH, src]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+@functools.lru_cache()
+def _lib():
+    if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(
+        os.path.join(_NATIVE_DIR, "rlcf_host.cpp")
+    ):
+        _build()
+    lib = ctypes.CDLL(_LIB_PATH)
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.rlcf_generate_views_batch.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_uint64, f32p, ctypes.c_int,
+    ]
+    lib.rlcf_preprocess_batch.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p, ctypes.c_int,
+    ]
+    lib.rlcf_native_version.restype = ctypes.c_int
+    return lib
+
+
+def available() -> bool:
+    try:
+        return _lib().rlcf_native_version() >= 1
+    except Exception:
+        return False
+
+
+def generate_views_native(
+    images: np.ndarray,
+    n_views: int,
+    resolution: int = 224,
+    augmix: bool = True,
+    severity: float = 1.0,
+    crop_min: float = 0.08,
+    seed: int = 0,
+    n_threads: int = 0,
+) -> np.ndarray:
+    """[N, H, W, 3] u8 -> [N, n_views, R, R, 3] f32 normalized views."""
+    images = np.ascontiguousarray(images, dtype=np.uint8)
+    n, h, w, _ = images.shape
+    out = np.empty((n, n_views, resolution, resolution, 3), np.float32)
+    _lib().rlcf_generate_views_batch(
+        images, n, h, w, n_views, resolution, int(augmix), float(severity), float(crop_min),
+        np.uint64(seed), out, n_threads,
+    )
+    return out
+
+
+def preprocess_native(images: np.ndarray, resolution: int = 224, n_threads: int = 0) -> np.ndarray:
+    """Eval transform for a uint8 batch (short-side crop assumed square-ish)."""
+    images = np.ascontiguousarray(images, dtype=np.uint8)
+    n, h, w, _ = images.shape
+    out = np.empty((n, resolution, resolution, 3), np.float32)
+    _lib().rlcf_preprocess_batch(images, n, h, w, resolution, out, n_threads)
+    return out

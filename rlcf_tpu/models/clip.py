@@ -82,6 +82,8 @@ CLIP_ARCHS = {
     # Tiny architectures for tests (same code paths, minutes-not-hours compiles).
     "test-tiny-vit": _cfg("test-tiny-vit", 32, 32, 2, 64, 8, 64, 2, vocab_size=512),
     "test-tiny-rn": _cfg("test-tiny-rn", 64, 64, (1, 1, 1, 1), 16, None, 64, 2, vocab_size=512),
+    # Small full-vocab arch: real tokenizer range, CPU-friendly compiles.
+    "test-small": _cfg("test-small", 64, 64, 2, 64, 16, 64, 2),
 }
 
 

@@ -21,10 +21,12 @@ from jax.scipy.ndimage import map_coordinates
 
 def _per_channel_lut(img, lut):
     """Apply per-channel 256-entry LUTs. img [H,W,C] float (integer-valued),
-    lut [C, 256]."""
-    idx = jnp.clip(img, 0, 255).astype(jnp.int32)  # [H,W,C]
-    # lut[None, None]: [1,1,C,256]; gather the level axis per channel
-    return jnp.take_along_axis(lut[None, None], idx[..., None], axis=-1)[..., 0].astype(img.dtype)
+    lut [C, 256]. Gathers run channels-first over a flat spatial axis so the
+    trailing dim stays large (TPU tile-padding, see affine_transform)."""
+    H, W, C = img.shape
+    idx = jnp.clip(img, 0, 255).astype(jnp.int32).transpose(2, 0, 1).reshape(C, H * W)
+    out = jnp.take_along_axis(lut, idx, axis=1)  # [C, HW]
+    return out.reshape(C, H, W).transpose(1, 2, 0).astype(img.dtype)
 
 
 def autocontrast(img):
@@ -78,38 +80,17 @@ def solarize(img, threshold):
     return jnp.where(x >= threshold, 255.0 - x, x).astype(img.dtype)
 
 
-def _bilinear_sample(ch, in_y, in_x):
-    """Bilinear sample of one channel [H, W] at fractional coords (black fill).
-
-    Hand-rolled rather than ``jax.scipy.ndimage.map_coordinates``: the latter
-    stacks corner contributions along a tiny trailing axis which TPU (8,128)
-    tiling pads catastrophically when vmapped over many views; four separate
-    [H, W]-shaped gathers keep layouts tile-friendly.
-    """
-    H, W = ch.shape
-    y0 = jnp.floor(in_y)
-    x0 = jnp.floor(in_x)
-    wy = in_y - y0
-    wx = in_x - x0
-    y0 = y0.astype(jnp.int32)
-    x0 = x0.astype(jnp.int32)
-
-    def gather(yi, xi):
-        valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
-        flat = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
-        vals = jnp.take(ch.reshape(-1), flat.reshape(-1)).reshape(yi.shape)
-        return vals * valid.astype(ch.dtype)
-
-    top = gather(y0, x0) * (1 - wx) + gather(y0, x0 + 1) * wx
-    bot = gather(y0 + 1, x0) * (1 - wx) + gather(y0 + 1, x0 + 1) * wx
-    return top * (1 - wy) + bot * wy
-
-
 def affine_transform(img, matrix):
     """PIL ``Image.transform(size, AFFINE, matrix, BILINEAR)``.
 
     ``matrix`` = (a, b, c, d, e, f): output (x, y) samples input
     (a x + b y + c, d x + e y + f); out-of-bounds fills black.
+
+    TPU layout note: the bilinear corners are gathered channels-first along a
+    flat [H*W] axis (``take(img_cf, idx, axis=1)``). Per-channel [H, W]
+    gathers (or ``map_coordinates``) leave a trailing size-1/size-3 dim that
+    (8,128) tiling pads 42-128x, which OOMs when vmapped over 64-view
+    augmentation batches.
     """
     H, W, C = img.shape
     a, b, c, d, e, f = matrix
@@ -117,9 +98,28 @@ def affine_transform(img, matrix):
     xs = jnp.arange(W, dtype=img.dtype)
     yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
     # PIL maps pixel centers: in = M @ (out + 0.5), sampled at in - 0.5.
-    in_x = a * (xx + 0.5) + b * (yy + 0.5) + c - 0.5
-    in_y = d * (xx + 0.5) + e * (yy + 0.5) + f - 0.5
-    return jnp.stack([_bilinear_sample(img[..., ch], in_y, in_x) for ch in range(C)], axis=-1)
+    in_x = (a * (xx + 0.5) + b * (yy + 0.5) + c - 0.5).reshape(-1)
+    in_y = (d * (xx + 0.5) + e * (yy + 0.5) + f - 0.5).reshape(-1)
+
+    y0 = jnp.floor(in_y)
+    x0 = jnp.floor(in_x)
+    wy = (in_y - y0)[None, :]  # [1, HW]
+    wx = (in_x - x0)[None, :]
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+
+    img_cf = img.transpose(2, 0, 1).reshape(C, H * W)  # channels-first flat
+
+    def gather(yi, xi):
+        valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        flat = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+        vals = jnp.take(img_cf, flat, axis=1)  # [C, HW]
+        return vals * valid[None, :].astype(img.dtype)
+
+    top = gather(y0, x0) * (1 - wx) + gather(y0, x0 + 1) * wx
+    bot = gather(y0 + 1, x0) * (1 - wx) + gather(y0 + 1, x0 + 1) * wx
+    out = top * (1 - wy) + bot * wy  # [C, HW]
+    return out.reshape(C, H, W).transpose(1, 2, 0)
 
 
 def rotate(img, degrees):
