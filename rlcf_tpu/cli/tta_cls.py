@@ -29,6 +29,7 @@ def get_args(argv=None):
     common.add_tta_args(p)
     p.add_argument("--loss", default="rlcf", choices=["rlcf", "tpt", "kd", "dkd", "atkd"])
     p.add_argument("--tpt", action="store_true", help="compat flag: TPT entropy loss")
+    p.add_argument("--resume", action="store_true", help="continue from the progress journal in --output")
     return p.parse_args(argv)
 
 
@@ -44,7 +45,7 @@ def main(argv=None):
     from ..core.prompt import load_coop_ctx
     from ..data.augment import make_view_generator
     from ..data.class_names import get_classnames
-    from ..data.datasets import build_dataset, iter_raw
+    from ..data.datasets import PrefetchIterator, build_dataset, iter_raw
     from ..metrics.classification import AccuracyMeter
     from ..tasks.classification import PromptTTAClassifier
     from ..utils.config import save_hparams
@@ -74,6 +75,9 @@ def main(argv=None):
         n_views=args.batch_size, resolution=args.resolution, augmix=bool(args.augmix)
     )
 
+    import json as _json
+    import os as _os
+
     results = {}
     for set_id in args.test_sets.split("/"):
         t0 = time.time()
@@ -81,30 +85,51 @@ def main(argv=None):
         clf.setup(classnames)
         dataset = build_dataset(set_id, args.data, mode=args.dataset_mode, corruption=args.corruption, level=args.level)
         meter = AccuracyMeter()
+
+        # Fault tolerance: deterministic sample order (seeded shuffle) plus a
+        # progress journal makes mid-dataset resume a skip-count.
+        journal_path = _os.path.join(args.output, f"progress_{set_id.replace('/', '_')}.jsonl")
+        skip = 0
+        if args.resume and _os.path.exists(journal_path):
+            with open(journal_path) as fh:
+                for line in fh:
+                    rec = _json.loads(line)
+                    meter.update_counts({1: rec["c1"], 5: rec["c5"]}, rec["n"])
+                    skip += rec["n"]
+            print(f"resuming {set_id}: {skip} samples already scored")
+        journal = open(journal_path, "a")
+
         group_imgs, group_labels = [], []
-        rng_counter = 0
+        rng_counter = [skip // max(args.episode_group, 1)]
 
         def flush():
-            nonlocal rng_counter
             if not group_imgs:
                 return
-            imgs = np.stack(
-                [_to_canonical(im, 256) for im in group_imgs]
-            )
-            keys = jax.random.split(jax.random.PRNGKey(args.seed * 100003 + rng_counter), len(group_imgs))
-            rng_counter += 1
+            imgs = np.stack([_to_canonical(im, 256) for im in group_imgs])
+            keys = jax.random.split(jax.random.PRNGKey(args.seed * 100003 + rng_counter[0]), len(group_imgs))
+            rng_counter[0] += 1
             views = gen(jnp.asarray(imgs), keys)
             logits, _ = clf.adapt(views)
-            meter.update(np.asarray(logits), np.asarray(group_labels))
+            from ..metrics.classification import topk_correct
+
+            counts = topk_correct(np.asarray(logits), np.asarray(group_labels))
+            meter.update_counts({k: int(v) for k, v in counts.items()}, len(group_labels))
+            journal.write(_json.dumps({"n": len(group_labels), "c1": int(counts[1]), "c5": int(counts[5])}) + "\n")
+            journal.flush()
             group_imgs.clear()
             group_labels.clear()
 
-        for img, label in iter_raw(dataset, seed=args.seed, limit=args.limit):
+        seen = 0
+        for img, label in PrefetchIterator(iter_raw(dataset, seed=args.seed, limit=args.limit)):
+            seen += 1
+            if seen <= skip:
+                continue
             group_imgs.append(img)
             group_labels.append(label)
             if len(group_imgs) == args.episode_group:
                 flush()
         flush()
+        journal.close()
         results[set_id] = meter.summary()
         logger.text(
             logger.elapsed_line(f"dataset {set_id}"),

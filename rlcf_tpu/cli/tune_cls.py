@@ -37,7 +37,7 @@ def main(argv=None):
     from ..core.episode import EpisodeConfig
     from ..data.augment import make_view_generator
     from ..data.class_names import get_classnames
-    from ..data.datasets import build_dataset, iter_raw
+    from ..data.datasets import PrefetchIterator, build_dataset, iter_raw
     from ..metrics.classification import AccuracyMeter
     from ..tasks.classification import EncoderTTAClassifier
     from ..utils.config import save_hparams
@@ -72,7 +72,7 @@ def main(argv=None):
         meter = AccuracyMeter()
         group, labels = [], []
         counter = 0
-        for img, label in iter_raw(dataset, seed=args.seed, limit=args.limit):
+        for img, label in PrefetchIterator(iter_raw(dataset, seed=args.seed, limit=args.limit)):
             group.append(_to_canonical(img, 256))
             labels.append(label)
             if len(group) == args.episode_group:

@@ -167,14 +167,23 @@ def build_prompt_state(
         rng = rng or np.random.default_rng(0)
         cls0 = jnp.asarray(rng.normal(0.0, 0.02, size=(C, ctx_dim)).astype(np.float32))
 
+    eot = tokenized.argmax(axis=-1)
+    # Exact-math sequence truncation: causal attention means positions past
+    # the pooled EOT never influence the text features, so the padded-to-77
+    # tail (the reference always runs full context, `TPT/clip/model.py:343`)
+    # is dead compute. Keep max(eot)+1 positions, padded to a multiple of 8
+    # for TPU sublane tiling — ~5x fewer text-tower FLOPs per TTA step for
+    # typical class prompts, bit-identical pooled outputs.
+    t_max = min(T, int(-(-(int(eot.max()) + 1) // 8) * 8))
+
     return PromptState(
         ctx0=jnp.asarray(ctx0),
-        fixed_embed=jnp.asarray(fixed),
-        ctx_map=jnp.asarray(ctx_map),
-        eot_idx=jnp.asarray(tokenized.argmax(axis=-1)),
+        fixed_embed=jnp.asarray(fixed[:, :t_max]),
+        ctx_map=jnp.asarray(ctx_map[:, :t_max]),
+        eot_idx=jnp.asarray(eot),
         tokenized=tokenized,
         cls0=cls0,
-        cls_mask=jnp.asarray(cls_mask) if learned_cls else None,
+        cls_mask=jnp.asarray(cls_mask[:, :t_max]) if learned_cls else None,
     )
 
 

@@ -58,6 +58,9 @@ class ClipReward:
         """Encode and cache normalized class/caption text features [C, E]."""
         if tokenized is None:
             tokenized = tokenize([c for c in classnames], truncate=True)
+        # exact-math truncation of the dead padded tail (see tasks.classification)
+        t_max = int(np.asarray(tokenized).argmax(axis=-1).max()) + 1
+        tokenized = np.asarray(tokenized)[:, : min(tokenized.shape[1], -(-t_max // 8) * 8)]
         encode = jax.jit(functools.partial(clip_model.encode_text, cfg=self.cfg))
         chunks = []
         for start in range(0, tokenized.shape[0], batch_size):

@@ -134,6 +134,54 @@ class AircraftDataset:
         return load_image(os.path.join(self.image_root, rel)), label
 
 
+class BongardHOIDataset:
+    """Bongard-HOI few-shot tasks (`TPT/data/hoi_dataset.py:26-115`).
+
+    Each item is a task: positive/negative support image paths, the two query
+    images (one per polarity), and the text annotation. Split json format:
+    ``data/bongard_splits/bongard_hoi_{mode}_{split}.json`` with
+    ``[neg_samples, pos_samples, ..., annotation]`` entries.
+    """
+
+    def __init__(self, data_root: str, split: str = "unseen_obj_unseen_act", mode: str = "test"):
+        self.data_root = data_root
+        path = os.path.join(data_root, "data", "bongard_splits", f"bongard_hoi_{mode}_{split}.json")
+        with open(path) as fh:
+            items = json.load(fh)
+        self.tasks = []
+        for task in items:
+            self.tasks.append(
+                {
+                    "neg_samples": [s["im_path"] for s in task[0]],
+                    "pos_samples": [s["im_path"] for s in task[1]],
+                    "annotation": task[-1].replace("++", " "),
+                }
+            )
+
+    def __len__(self):
+        return len(self.tasks)
+
+    def resolve(self, rel_path: str) -> str:
+        path = os.path.join(self.data_root, rel_path.replace("./", ""))
+        if not os.path.isfile(path):
+            # the published file lists occasionally point at the wrong split
+            swap = path.replace("/val", "/train") if "/pic/image/val" in path else path.replace("/train", "/val")
+            if os.path.isfile(swap):
+                return swap
+        return path
+
+    def __getitem__(self, idx):
+        task = self.tasks[idx]
+        load = lambda rel: load_image(self.resolve(rel))
+        return {
+            "pos_support": [load(p) for p in task["pos_samples"][:-1]],
+            "neg_support": [load(p) for p in task["neg_samples"][:-1]],
+            "pos_query": load(task["pos_samples"][-1]),
+            "neg_query": load(task["neg_samples"][-1]),
+            "annotation": task["annotation"],
+        }
+
+
 class SyntheticDataset:
     """Deterministic random images for tests/benches without real data."""
 
@@ -214,3 +262,41 @@ def iter_raw(
         order = order[:limit]
     for i in order:
         yield dataset[i]
+
+
+class PrefetchIterator:
+    """Background-thread prefetch over any iterator (the LAVIS
+    ``PrefetchLoader`` idea, `lavis/datasets/datasets/dataloader_utils.py:127`):
+    host-side decode/augment overlaps device compute."""
+
+    _END = object()
+
+    def __init__(self, iterable, depth: int = 4):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._err = None
+
+        def worker():
+            try:
+                for item in iterable:
+                    self._q.put(item)
+            except BaseException as exc:  # propagate into the consumer
+                self._err = exc
+            finally:
+                self._q.put(self._END)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._END:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item

@@ -207,8 +207,9 @@ def _init_resnet(rng, cfg: ClipConfig, dtype):
 
 
 def _vit_encode(p, cfg: ClipConfig, images, pool=True):
-    """images: [B, H, W, 3] NHWC, normalized."""
-    x = L.conv2d(images, p["conv_w"], stride=cfg.vision_patch_size, padding="VALID")
+    """images: [B, H, W, 3] NHWC, normalized. Cast to the tower's dtype like
+    the reference's ``image.type(self.dtype)`` (`TPT/clip/model.py:340-341`)."""
+    x = L.conv2d(images.astype(p["conv_w"].dtype), p["conv_w"], stride=cfg.vision_patch_size, padding="VALID")
     B, gh, gw, W = x.shape
     x = x.reshape(B, gh * gw, W)
     cls_tok = jnp.broadcast_to(p["class_emb"].astype(x.dtype), (B, 1, W))
@@ -262,8 +263,8 @@ def _attention_pool(x, p, n_heads: int):
 
 def _resnet_encode(p, cfg: ClipConfig, images, bn_prior=None):
     bn = lambda h, q: L.batch_norm_2d(h, q, prior=bn_prior)
-    x = images
     stem = p["stem"]
+    x = images.astype(stem["conv1_w"].dtype)
     x = jax.nn.relu(bn(L.conv2d(x, stem["conv1_w"], stride=2, padding=1), stem["bn1"]))
     x = jax.nn.relu(bn(L.conv2d(x, stem["conv2_w"], padding=1), stem["bn2"]))
     x = jax.nn.relu(bn(L.conv2d(x, stem["conv3_w"], padding=1), stem["bn3"]))

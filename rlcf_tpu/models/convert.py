@@ -18,7 +18,7 @@ mapper checkpoints.
 from __future__ import annotations
 
 import re
-from typing import Dict
+from typing import Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -169,6 +169,37 @@ def convert_clip_state_dict(sd: Dict, dtype=np.float32):
     return params, cfg
 
 
-def load_clip_checkpoint(path: str, dtype=np.float32):
-    """Load an OpenAI CLIP .pt checkpoint into (params, config)."""
+# SHA256 digests of the released OpenAI checkpoints (from the download URLs
+# the reference verifies, `TPT/clip/clip.py:30-70`).
+CLIP_CHECKPOINT_SHA256 = {
+    "RN50": "afeb0e10f9e5a86da6080e35cf09123aca3b358a0c3e3b6c78a7b63bc04b6762",
+    "RN101": "8fa8567bab74a42d41c5915025a8e4538c3bdbe8804a470a72f30b0d94fab599",
+    "RN50x4": "7e526bd135e493cef0776de27d5f42653e6b4c8bf9e0f653bb11773263205fdd",
+    "RN50x16": "52378b407f34354e150460fe41077663dd5b39c54cd0bfd2b27167a4a06ec9aa",
+    "RN50x64": "be1cfb55d75a9666199fb2206c106743da0f6468c9d327f3e0d0a543a9919d9c",
+    "ViT-B/32": "40d365715913c9da98579312b702a82c18be219cc2a73407c4526f58eba950af",
+    "ViT-B/16": "5806e77cd80f8b59890b7e101eabd078d9fb84e6937f9e85e4ecb61988df416f",
+    "ViT-L/14": "b8cca3fd41ae0c99ba7e8951adf17d267cdb84cd88be6f7c2e0eca1737a03836",
+    "ViT-L/14@336px": "3035c92b350959924f9f00213499208652fc7ea050643e8b385c2dac08641f02",
+}
+
+
+def verify_checkpoint_sha256(path: str, arch: Optional[str] = None) -> bool:
+    """Verify a local OpenAI CLIP .pt against the published digest."""
+    import hashlib
+
+    digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
+    if arch is not None:
+        return digest == CLIP_CHECKPOINT_SHA256.get(arch)
+    return digest in CLIP_CHECKPOINT_SHA256.values()
+
+
+def load_clip_checkpoint(path: str, dtype=np.float32, verify_arch: Optional[str] = None):
+    """Load an OpenAI CLIP .pt checkpoint into (params, config).
+
+    ``verify_arch``: optionally check the file's SHA256 against the published
+    digest for that architecture (parity with `TPT/clip/clip.py:53-70`).
+    """
+    if verify_arch is not None and not verify_checkpoint_sha256(path, verify_arch):
+        raise RuntimeError(f"{path} does not match the published SHA256 for {verify_arch}")
     return convert_clip_state_dict(load_torch_file(path), dtype=dtype)

@@ -28,10 +28,18 @@ from ..data.class_names import assemble_prompts
 from ..metrics.classification import AccuracyMeter
 
 
+def truncate_tokens(tokens: np.ndarray) -> np.ndarray:
+    """Drop the all-padding tail: causal attention + EOT pooling make
+    positions past max(eot) dead compute (exact, not approximate)."""
+    t_max = int(tokens.argmax(axis=-1).max()) + 1
+    t_max = min(tokens.shape[1], -(-t_max // 8) * 8)
+    return tokens[:, :t_max]
+
+
 def compute_class_features(params, cfg, classnames: Sequence[str], prompt_prefix: str = "a photo of a", batch_size: int = 256):
     """Normalized class text features [C, E] computed in device batches."""
     prompts = assemble_prompts(classnames, prompt_prefix)
-    tokens = tokenize(prompts)
+    tokens = truncate_tokens(tokenize(prompts))
     encode = jax.jit(functools.partial(clip_model.encode_text, cfg=cfg))
     feats = []
     for start in range(0, tokens.shape[0], batch_size):
@@ -297,4 +305,121 @@ class EncoderTTAClassifier:
                 adapted_i = jax.tree_util.tree_map(lambda a: a[i], aux["adapted"])
                 self.momentum_state = Po.momentum_update(self.momentum_state, adapted_i, **self.momentum_cfg)
             aux = {k: v for k, v in aux.items() if k != "adapted"}
+        return logits[:, 0], aux
+
+
+# ---------------------------------------------------------------------------
+# CoCoOp: image-conditioned prompt TTA (`TPT/clip/cocoop.py`, `tpt_cls.py`)
+# ---------------------------------------------------------------------------
+
+
+def init_meta_net(rng, embed_dim: int, ctx_dim: int, dtype=jnp.float32):
+    """CoCoOp meta-net: Linear(E, E//16) -> ReLU -> Linear(E//16, D)
+    (`cocoop.py:53-57`)."""
+    import jax.random as jr
+
+    k1, k2 = jr.split(rng)
+    hidden = embed_dim // 16
+    scale1 = (embed_dim) ** -0.5
+    scale2 = (hidden) ** -0.5
+    return {
+        "w1": (jr.normal(k1, (embed_dim, hidden)) * scale1).astype(dtype),
+        "b1": jnp.zeros((hidden,), dtype),
+        "w2": (jr.normal(k2, (hidden, ctx_dim)) * scale2).astype(dtype),
+        "b2": jnp.zeros((ctx_dim,), dtype),
+    }
+
+
+def meta_net_forward(params, im_features):
+    h = jax.nn.relu(im_features @ params["w1"] + params["b1"])
+    return h @ params["w2"] + params["b2"]
+
+
+def convert_cocoop_checkpoint(sd):
+    """Torch CoCoOp ckpt -> (ctx [n_ctx, D], meta_net params).
+
+    Accepts keys with or without a ``prompt_generator.``/``prompt_learner.``
+    prefix (`load_model_weight`, `TPT/utils/tools.py:101-131`).
+    """
+    import numpy as _np
+
+    def find(suffix):
+        for k, v in sd.items():
+            if k.endswith(suffix):
+                return _np.asarray(v, dtype=_np.float32)
+        raise KeyError(suffix)
+
+    ctx = jnp.asarray(find("ctx"))
+    meta = {
+        "w1": jnp.asarray(find("meta_net.linear1.weight").T),
+        "b1": jnp.asarray(find("meta_net.linear1.bias")),
+        "w2": jnp.asarray(find("meta_net.linear2.weight").T),
+        "b2": jnp.asarray(find("meta_net.linear2.bias")),
+    }
+    return ctx, meta
+
+
+class CoCoOpTTAClassifier:
+    """TPT-style TTA over a CoCoOp instance-conditioned context.
+
+    Per sample: the frozen meta-net produces ``pgen_ctx = ctx +
+    meta_net(mean image feature)`` from the base view (`cocoop.py:173-182`),
+    then ``tta_steps`` entropy-minimization updates tune pgen_ctx only
+    (`tpt_cls.py:50-53,100-114`); prediction uses the adapted context.
+    """
+
+    def __init__(self, clip_params, clip_cfg, ecfg, ctx_init="a photo of a", n_ctx=4, ctx0=None, meta_net=None, rng=None):
+        from ..core import prompt as P
+
+        self.clip_params = clip_params
+        self.clip_cfg = clip_cfg
+        self.ecfg = ecfg
+        self.ctx_init = ctx_init
+        self.n_ctx = n_ctx
+        self._P = P
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        ctx_dim = clip_cfg.text_width
+        self.meta_net = meta_net or init_meta_net(rng, clip_cfg.embed_dim, ctx_dim)
+        self.ctx0_override = ctx0
+        self.prompt_state = None
+        self._episode_batched = None
+
+    def setup(self, classnames: Sequence[str]):
+        from ..core.episode import make_tta_episode
+
+        P = self._P
+        self.prompt_state = P.build_prompt_state(
+            self.clip_params, classnames, ctx_init=self.ctx_init, n_ctx=self.n_ctx, ctx0=self.ctx0_override
+        )
+        pt = self.prompt_state
+        clip_params, cfg = self.clip_params, self.clip_cfg
+        scale = jnp.exp(clip_params["logit_scale"])
+        meta_net = self.meta_net
+
+        def policy_logits(ctx, cache, idx):
+            prompts = P.splice_prompts(ctx, pt)
+            tf = clip_model.encode_text_embeds(clip_params, cfg, prompts, pt.eot_idx)
+            tf = clip_model.normalize(tf.astype(jnp.float32))
+            return scale * jnp.dot(cache["img_feats"][idx], tf.T, preferred_element_type=jnp.float32)
+
+        episode = make_tta_episode(
+            policy_logits,
+            reward_image_sim=lambda v: jnp.zeros((1, pt.n_cls)),  # unused (tpt loss)
+            score_samples=None,
+            ecfg=self.ecfg,
+        )
+
+        def full_episode(views):
+            img = clip_model.encode_image(clip_params, cfg, views)
+            img_feats = clip_model.normalize(img.astype(jnp.float32))
+            # instance-conditioned ctx from the base view's features
+            bias = meta_net_forward(meta_net, img_feats[:1].astype(jnp.float32))  # [1, D]
+            ctx0 = pt.ctx0 + bias[0][None, :].astype(pt.ctx0.dtype)
+            return episode(ctx0, {"img_feats": img_feats}, views)
+
+        self._episode_batched = jax.jit(jax.vmap(full_episode))
+        return self
+
+    def adapt(self, views_batch):
+        logits, aux = self._episode_batched(jnp.asarray(views_batch))
         return logits[:, 0], aux

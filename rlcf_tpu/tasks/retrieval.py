@@ -67,7 +67,9 @@ def load_karpathy_annotations(ann_path: str, vis_root: str = "") -> RetrievalGal
 
 def encode_text_gallery(params, cfg, texts: Sequence[str], batch_size: int = 256):
     """Normalized text features [N, E] for the whole caption gallery."""
-    tokens = tokenize(list(texts), truncate=True)
+    from .classification import truncate_tokens
+
+    tokens = truncate_tokens(tokenize(list(texts), truncate=True))
     encode = jax.jit(functools.partial(clip_model.encode_text, cfg=cfg))
     feats = []
     for s in range(0, tokens.shape[0], batch_size):
@@ -174,12 +176,14 @@ class RetrievalTTA:
                 feats = reward_model.text_features(tokens_sel)
                 return jnp.dot(feats, r_gallery.T, preferred_element_type=jnp.float32)
 
+        teacher_scale = jnp.exp(reward_model.params["logit_scale"]) if hasattr(reward_model, "params") else None
         episode = make_tta_episode(
             policy_logits,
             reward_sim,
             reward_model.score_samples,
             # single query, no view selection: keep the one "view"
             dataclasses.replace(self.ecfg, selection_p=1.0),
+            teacher_scale=teacher_scale,  # enables the KD variant (`clip_ret_kd.py:37-93`)
             return_adapted=self.momentum_update,
         )
 

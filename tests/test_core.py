@@ -147,7 +147,10 @@ def test_prompt_splice_reproduces_plain_embeddings(tiny_clip):
     spliced = np.asarray(P.splice_prompts(pt.ctx0, pt))
     direct_tokens = tokenize([f"a photo of a {n}." for n in names])
     direct = np.asarray(params["text"]["token_embedding"])[direct_tokens]
-    np.testing.assert_allclose(spliced, direct, rtol=1e-6, atol=1e-6)
+    # state is truncated past max(eot) (exact-math dead-tail removal)
+    T = spliced.shape[1]
+    assert T <= 77 and T > int(direct_tokens.argmax(-1).max())
+    np.testing.assert_allclose(spliced, direct[:, :T], rtol=1e-6, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(pt.eot_idx), direct_tokens.argmax(-1))
 
 
@@ -168,7 +171,7 @@ def test_prompt_middle_position(tiny_clip):
     pt = P.build_prompt_state(params, ["cat"], ctx_init="a photo [CLS] of a")
     # [CLS] at index 2 -> split_idx 2; assembled shape sane, eot consistent
     spliced = P.splice_prompts(pt.ctx0, pt)
-    assert spliced.shape[1] == 77
+    assert spliced.shape[1] % 8 == 0 and spliced.shape[1] > int(pt.eot_idx.max())
     assert pt.ctx0.shape[0] == 4  # "a photo of a" minus [CLS]
 
 
