@@ -130,7 +130,12 @@ class ClipRewardEnsemble:
 
     def score_samples(self, sims, sampled_idx):
         """Weighted-sum of member CLIPScores, then shared post-processing
-        (`TPT/clip_reward.py:227-257`)."""
+        (`TPT/clip_reward.py:227-257`).
+
+        ``sims``: list of [S, C] member sims, or a stacked [M, S, C] array.
+        """
+        if not isinstance(sims, (list, tuple)):
+            sims = [sims[m] for m in range(sims.shape[0])]
         scores = []
         for m, sim, w in zip(self.members, sims, self.weights):
             picked = jnp.take_along_axis(sim, sampled_idx, axis=-1)

@@ -255,10 +255,13 @@ class CaptionTTA:
         self.momentum_state = Po.MomentumState.create(params["mapper"]) if momentum_update else None
         self._Po = Po
 
-        opt_params = params["opt"]
+        # LLM/reward params flow in as jit arguments (closure capture would
+        # bake them into the executables — compile explosion at OPT-125m scale).
+        reward_cfg_arch = self.reward.cfg
+        rcfg = self.reward.rcfg
 
         @jax.jit
-        def generate_k(mapper_params, clip_emb):
+        def generate_k(opt_params, mapper_params, clip_emb):
             prefix = prefix_tokens(mapper_params, ccfg, clip_emb)
             seqs, _ = O.beam_generate(
                 opt_params, ccfg.opt, prefix, num_beams=sample_k, max_new_tokens=max_new_tokens, num_return=sample_k
@@ -266,7 +269,7 @@ class CaptionTTA:
             return seqs  # [B, K, L]
 
         @jax.jit
-        def generate_final(mapper_params, clip_emb):
+        def generate_final(opt_params, mapper_params, clip_emb):
             prefix = prefix_tokens(mapper_params, ccfg, clip_emb)
             seqs, _ = O.beam_generate(
                 opt_params, ccfg.opt, prefix, num_beams=5, max_new_tokens=max_new_tokens, num_return=1
@@ -274,20 +277,25 @@ class CaptionTTA:
             return seqs[:, 0]
 
         @jax.jit
-        def reward_of(image, caption_clip_tokens):
+        def reward_of(rparams, image, caption_clip_tokens):
             """CLIPScore(image, K captions) -> processed rewards [K]."""
-            img_feat = self.reward.image_features(image[None])
-            txt_feats = self.reward.text_features(caption_clip_tokens)
-            sim = jnp.sum(txt_feats * img_feat, axis=-1)  # [K]
+            from ..models import clip as _clip
             from ..core.losses import clipscore, rewards_post_process
 
-            scores = clipscore(sim, self.reward.rcfg.clipscore_weight)
-            return rewards_post_process(
-                scores.reshape(1, -1), self.reward.rcfg.reward_process, self.reward.rcfg.amplify
+            res = reward_cfg_arch.image_resolution
+            img = image[None]
+            if img.shape[1] != res:
+                img = jax.image.resize(img, (1, res, res, img.shape[-1]), method="bicubic")
+            img_feat = _clip.normalize(_clip.encode_image(rparams, reward_cfg_arch, img).astype(jnp.float32))
+            txt_feats = _clip.normalize(
+                _clip.encode_text(rparams, reward_cfg_arch, caption_clip_tokens).astype(jnp.float32)
             )
+            sim = jnp.sum(txt_feats * img_feat, axis=-1)  # [K]
+            scores = clipscore(sim, rcfg.clipscore_weight)
+            return rewards_post_process(scores.reshape(1, -1), rcfg.reward_process, rcfg.amplify)
 
         @jax.jit
-        def update_step(mapper_params, opt_state, clip_emb, opt_tokens, attn_mask, rewards):
+        def update_step(opt_params, mapper_params, opt_state, clip_emb, opt_tokens, attn_mask, rewards):
             """Reward-weighted teacher-forcing CE on sampled captions
             (`capdec_tta.py:111-130`). opt_tokens [K, L]."""
             K = opt_tokens.shape[0]
@@ -325,17 +333,19 @@ class CaptionTTA:
         clip_emb = jnp.asarray(clip_emb)[None]  # [1, E]
         image = jnp.asarray(image)
         P = self.ccfg.prefix_length
+        opt_params = self.params["opt"]
+        rparams = self.reward.params
         for _ in range(self.tta_steps):
-            seqs = self._generate_k(mapper, clip_emb)  # [1, K, L]
+            seqs = self._generate_k(opt_params, mapper, clip_emb)  # [1, K, L]
             texts, opt_tokens, opt_mask, clip_tokens = self._decode_and_retokenize(np.asarray(seqs[0]))
-            rewards = self._reward_of(image, jnp.asarray(clip_tokens))
+            rewards = self._reward_of(rparams, image, jnp.asarray(clip_tokens))
             if trace is not None:
                 trace.append(list(zip(texts, np.asarray(rewards).tolist())))
             attn = np.concatenate([np.ones((opt_tokens.shape[0], P), np.int32), opt_mask], axis=1)
             mapper, opt_state, _ = self._update_step(
-                mapper, opt_state, clip_emb[0], jnp.asarray(opt_tokens), jnp.asarray(attn), rewards
+                opt_params, mapper, opt_state, clip_emb[0], jnp.asarray(opt_tokens), jnp.asarray(attn), rewards
             )
-        final = self._generate_final(mapper, clip_emb)
+        final = self._generate_final(opt_params, mapper, clip_emb)
         caption = self.tok.batch_decode(np.asarray(final), stop_id=self.ccfg.opt.eos_newline_id)[0].lower()
         if self.momentum_update:
             self.momentum_state = self._Po.momentum_update(self.momentum_state, mapper, **self.momentum_cfg)
@@ -343,7 +353,7 @@ class CaptionTTA:
 
     def predict_only(self, clip_emb) -> List[str]:
         """No-TTA beam-5 predictions (`caption/predictions.py:21-70`)."""
-        final = self._generate_final(self.params["mapper"], jnp.asarray(clip_emb))
+        final = self._generate_final(self.params["opt"], self.params["mapper"], jnp.asarray(clip_emb))
         return [t.lower() for t in self.tok.batch_decode(np.asarray(final), stop_id=self.ccfg.opt.eos_newline_id)]
 
 

@@ -21,6 +21,7 @@ from typing import List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from ..models import clip as clip_model
 from ..tokenizer import tokenize
@@ -157,39 +158,112 @@ class PromptTTAClassifier:
         clip_params, cfg = self.clip_params, self.clip_cfg
         scale = jnp.exp(clip_params["logit_scale"])
         reward_class_feats = self.reward.class_features
+        reward_model = self.reward
+        ecfg = self.ecfg
 
-        def text_features(ctx):
+        # NOTE on jit boundaries: model params are passed as ARGUMENTS to
+        # every outer jit. Closure-captured arrays become compile-time
+        # constants baked into the executable — with 430M reward+policy
+        # params that produced multi-hundred-MB executables and pathological
+        # (or crashing) compiles on the TPU compile service.
+        def text_features(cparams, ctx):
             prompts = P.splice_prompts(ctx, pt)
-            feats = clip_model.encode_text_embeds(clip_params, cfg, prompts, pt.eot_idx)
+            feats = clip_model.encode_text_embeds(cparams, cfg, prompts, pt.eot_idx)
             return clip_model.normalize(feats.astype(jnp.float32))
 
-        def policy_logits(ctx, cache, idx):
-            tf = text_features(ctx)
-            return scale * jnp.dot(cache["img_feats"][idx], tf.T, preferred_element_type=jnp.float32)
+        # Initial text features are per-dataset constants: confidence selection
+        # uses them for free (the reference re-runs the text tower for the
+        # selection forward; here it costs one setup-time forward). The two
+        # stages compile separately — the frozen towers (stage A) and the
+        # text-tower TTA scan (stage B) — keeping graphs small.
+        tf0 = jax.jit(text_features)(clip_params, pt.ctx0)
 
-        reward_model = self.reward
+        from ..core import losses as Lo
+        from ..core.episode import make_optimizer, step_loss
 
-        def reward_image_sim(views_sel):
-            feats = reward_model.image_features(views_sel)
-            return jnp.dot(feats, reward_class_feats.T, preferred_element_type=jnp.float32)
-
-        teacher_scale = jnp.exp(reward_model.params["logit_scale"]) if hasattr(reward_model, "params") else None
-        episode = self._make_tta_episode(
-            policy_logits, reward_image_sim, reward_model.score_samples, self.ecfg, teacher_scale=teacher_scale
+        teacher_scale = (
+            jnp.exp(reward_model.params["logit_scale"]) if hasattr(reward_model, "params") else None
         )
+        opt = make_optimizer(ecfg)
 
-        def full_episode(views):
-            img = clip_model.encode_image(clip_params, cfg, views)
-            cache = {"img_feats": clip_model.normalize(img.astype(jnp.float32))}
-            return episode(pt.ctx0, cache, views)
+        is_ensemble = not hasattr(reward_model, "params")
+        if is_ensemble:
+            member_cfgs = [m.cfg for m in reward_model.members]
+            reward_params_arg = tuple(m.params for m in reward_model.members)
+            reward_feats_arg = tuple(m.class_features for m in reward_model.members)
+        else:
+            member_cfgs = None
+            reward_params_arg = reward_model.params
+            reward_feats_arg = reward_model.class_features
 
-        self._episode_batched = jax.jit(jax.vmap(full_episode))
+        def _reward_encode(rparams_, rcfg_, views, r_class_feats):
+            res = rcfg_.image_resolution
+            if views.shape[1] != res:
+                views = jax.image.resize(views, (views.shape[0], res, res, views.shape[-1]), method="bicubic")
+            feats = clip_model.normalize(clip_model.encode_image(rparams_, rcfg_, views).astype(jnp.float32))
+            return jnp.dot(feats, r_class_feats.T, preferred_element_type=jnp.float32)
+
+        @jax.jit
+        def prepare(cparams, rparams, tf0_, r_class_feats, views_batch):
+            """[N, B, H, W, 3] -> (img_feats [N,B,E], sel [N,S], reward_sim).
+
+            reward_sim: [N, S, C] for a single reward, [N, M, S, C] stacked
+            for ensembles.
+            """
+            N, B = views_batch.shape[:2]
+            n_keep = max(1, int(B * ecfg.selection_p))
+            flat = views_batch.reshape((N * B,) + views_batch.shape[2:])
+            img = clip_model.encode_image(cparams, cfg, flat)
+            img_feats = clip_model.normalize(img.astype(jnp.float32)).reshape(N, B, -1)
+            logits0 = scale * jnp.einsum("nbe,ce->nbc", img_feats, tf0_, preferred_element_type=jnp.float32)
+            ent = Lo.entropy_per_sample(logits0)
+            sel = jax.lax.top_k(-ent, n_keep)[1]  # [N, S]
+            sel_views = jnp.take_along_axis(
+                views_batch, sel[:, :, None, None, None], axis=1
+            ).reshape((N * n_keep,) + views_batch.shape[2:])
+            if is_ensemble:
+                sims = [
+                    _reward_encode(rp, rc, sel_views, rf).reshape(N, n_keep, -1)
+                    for rp, rc, rf in zip(rparams, member_cfgs, r_class_feats)
+                ]
+                r_sim = jnp.stack(sims, axis=1)  # [N, M, S, C]
+            else:
+                r_sim = _reward_encode(rparams, reward_model.cfg, sel_views, r_class_feats).reshape(N, n_keep, -1)
+            return img_feats, sel, r_sim
+
+        def one_episode(cparams, tf0_, img_feats, sel, reward_sim):
+            sel_feats = img_feats[sel]  # [S, E]
+
+            def loss_fn(ctx):
+                tf = text_features(cparams, ctx)
+                logits = scale * jnp.dot(sel_feats, tf.T, preferred_element_type=jnp.float32)
+                return step_loss(logits, reward_sim, ecfg, reward_model.score_samples, teacher_scale)
+
+            def step(carry, _):
+                ctx, opt_state = carry
+                loss, g = jax.value_and_grad(loss_fn)(ctx)
+                upd, opt_state = opt.update(g, opt_state, ctx)
+                return (optax.apply_updates(ctx, upd), opt_state), loss
+
+            (ctx_t, _), losses = jax.lax.scan(step, (pt.ctx0, opt.init(pt.ctx0)), None, length=ecfg.tta_steps)
+            tf_final = text_features(cparams, ctx_t) if ecfg.tta_steps > 0 else tf0_
+            final = scale * jnp.dot(img_feats[:1], tf_final.T, preferred_element_type=jnp.float32)
+            return final[0], losses
+
+        self._tf0 = tf0
+        self._reward_params_arg = reward_params_arg
+        self._reward_feats_arg = reward_feats_arg
+        self._prepare = prepare
+        self._episodes = jax.jit(jax.vmap(one_episode, in_axes=(None, None, 0, 0, 0)))
         return self
 
     def adapt(self, views_batch):
         """views_batch: [N, B, H, W, 3] -> (final_logits [N, C], aux)."""
-        logits, aux = self._episode_batched(jnp.asarray(views_batch))
-        return logits[:, 0], aux
+        img_feats, sel, r_sim = self._prepare(
+            self.clip_params, self._reward_params_arg, self._tf0, self._reward_feats_arg, jnp.asarray(views_batch)
+        )
+        logits, losses = self._episodes(self.clip_params, self._tf0, img_feats, sel, r_sim)
+        return logits, {"losses": losses, "selected": sel}
 
 
 # ---------------------------------------------------------------------------
@@ -256,38 +330,47 @@ class EncoderTTAClassifier:
         )
         clip_params, cfg = self.clip_params, self.clip_cfg
         scale = jnp.exp(clip_params["logit_scale"])
-        class_feats = self.class_features
         reward_model = self.reward
-        reward_class_feats = reward_model.class_features
-        frozen_visual = self.frozen_visual
         only_norm = self.only_norm
         bn_prior = self.bn_prior
 
-        def policy_logits(trainable, cache, idx):
-            visual = Po.merge(trainable, frozen_visual) if only_norm else trainable
-            params = {**clip_params, "visual": visual}
-            feats = clip_model.encode_image(params, cfg, cache["views"][idx], bn_prior=bn_prior)
-            feats = clip_model.normalize(feats.astype(jnp.float32))
-            return scale * jnp.dot(feats, class_feats.T, preferred_element_type=jnp.float32)
+        # Params flow in as jit arguments (never closures) — closure-captured
+        # weights get baked into executables as constants, exploding compiles.
+        def policy_logits_with(cparams, class_feats):
+            def policy_logits(trainable, cache, idx):
+                visual = Po.merge(trainable, cache["frozen_visual"]) if only_norm else trainable
+                params = {**cparams, "visual": visual}
+                feats = clip_model.encode_image(params, cfg, cache["views"][idx], bn_prior=bn_prior)
+                feats = clip_model.normalize(feats.astype(jnp.float32))
+                return scale * jnp.dot(feats, class_feats.T, preferred_element_type=jnp.float32)
 
-        def reward_image_sim(views_sel):
-            feats = reward_model.image_features(views_sel)
-            return jnp.dot(feats, reward_class_feats.T, preferred_element_type=jnp.float32)
+            return policy_logits
 
         teacher_scale = jnp.exp(reward_model.params["logit_scale"]) if hasattr(reward_model, "params") else None
-        episode = make_tta_episode(
-            policy_logits,
-            reward_image_sim,
-            reward_model.score_samples,
-            self.ecfg,
-            teacher_scale=teacher_scale,
-            return_adapted=self.momentum_update,
-        )
 
-        def full_episode(trainable0, views):
-            return episode(trainable0, {"views": views}, views)
+        def full_episode(cparams, rparams, class_feats, r_class_feats, frozen_visual, trainable0, views):
+            def reward_image_sim(views_sel):
+                res = reward_model.cfg.image_resolution
+                if views_sel.shape[1] != res:
+                    views_sel = jax.image.resize(
+                        views_sel, (views_sel.shape[0], res, res, views_sel.shape[-1]), method="bicubic"
+                    )
+                feats = clip_model.normalize(
+                    clip_model.encode_image(rparams, reward_model.cfg, views_sel).astype(jnp.float32)
+                )
+                return jnp.dot(feats, r_class_feats.T, preferred_element_type=jnp.float32)
 
-        self._episode_batched = jax.jit(jax.vmap(full_episode, in_axes=(None, 0)))
+            episode = make_tta_episode(
+                policy_logits_with(cparams, class_feats),
+                reward_image_sim,
+                reward_model.score_samples,
+                self.ecfg,
+                teacher_scale=teacher_scale,
+                return_adapted=self.momentum_update,
+            )
+            return episode(trainable0, {"views": views, "frozen_visual": frozen_visual}, views)
+
+        self._episode_batched = jax.jit(jax.vmap(full_episode, in_axes=(None, None, None, None, None, None, 0)))
         return self
 
     def adapt(self, views_batch):
@@ -298,7 +381,15 @@ class EncoderTTAClassifier:
         """
         Po = self._Po
         start = self.momentum_state.reset_params if self.momentum_update else self.trainable0
-        logits, aux = self._episode_batched(start, jnp.asarray(views_batch))
+        logits, aux = self._episode_batched(
+            self.clip_params,
+            self.reward.params,
+            self.class_features,
+            self.reward.class_features,
+            self.frozen_visual,
+            start,
+            jnp.asarray(views_batch),
+        )
         if self.momentum_update:
             n = views_batch.shape[0]
             for i in range(n):
@@ -392,34 +483,32 @@ class CoCoOpTTAClassifier:
             self.clip_params, classnames, ctx_init=self.ctx_init, n_ctx=self.n_ctx, ctx0=self.ctx0_override
         )
         pt = self.prompt_state
-        clip_params, cfg = self.clip_params, self.clip_cfg
-        scale = jnp.exp(clip_params["logit_scale"])
-        meta_net = self.meta_net
+        cfg = self.clip_cfg
+        scale = jnp.exp(self.clip_params["logit_scale"])
 
-        def policy_logits(ctx, cache, idx):
-            prompts = P.splice_prompts(ctx, pt)
-            tf = clip_model.encode_text_embeds(clip_params, cfg, prompts, pt.eot_idx)
-            tf = clip_model.normalize(tf.astype(jnp.float32))
-            return scale * jnp.dot(cache["img_feats"][idx], tf.T, preferred_element_type=jnp.float32)
+        def full_episode(cparams, meta_params, views):
+            def policy_logits(ctx, cache, idx):
+                prompts = P.splice_prompts(ctx, pt)
+                tf = clip_model.encode_text_embeds(cparams, cfg, prompts, pt.eot_idx)
+                tf = clip_model.normalize(tf.astype(jnp.float32))
+                return scale * jnp.dot(cache["img_feats"][idx], tf.T, preferred_element_type=jnp.float32)
 
-        episode = make_tta_episode(
-            policy_logits,
-            reward_image_sim=lambda v: jnp.zeros((1, pt.n_cls)),  # unused (tpt loss)
-            score_samples=None,
-            ecfg=self.ecfg,
-        )
-
-        def full_episode(views):
-            img = clip_model.encode_image(clip_params, cfg, views)
+            episode = make_tta_episode(
+                policy_logits,
+                reward_image_sim=lambda v: jnp.zeros((1, pt.n_cls)),  # unused (tpt loss)
+                score_samples=None,
+                ecfg=self.ecfg,
+            )
+            img = clip_model.encode_image(cparams, cfg, views)
             img_feats = clip_model.normalize(img.astype(jnp.float32))
             # instance-conditioned ctx from the base view's features
-            bias = meta_net_forward(meta_net, img_feats[:1].astype(jnp.float32))  # [1, D]
+            bias = meta_net_forward(meta_params, img_feats[:1].astype(jnp.float32))  # [1, D]
             ctx0 = pt.ctx0 + bias[0][None, :].astype(pt.ctx0.dtype)
             return episode(ctx0, {"img_feats": img_feats}, views)
 
-        self._episode_batched = jax.jit(jax.vmap(full_episode))
+        self._episode_batched = jax.jit(jax.vmap(full_episode, in_axes=(None, None, 0)))
         return self
 
     def adapt(self, views_batch):
-        logits, aux = self._episode_batched(jnp.asarray(views_batch))
+        logits, aux = self._episode_batched(self.clip_params, self.meta_net, jnp.asarray(views_batch))
         return logits[:, 0], aux

@@ -147,51 +147,59 @@ class RetrievalTTA:
     def _build_episode(self):
         clip_params, cfg = self.clip_params, self.clip_cfg
         scale = jnp.exp(clip_params["logit_scale"])
-        gallery = self.gallery_feats
-        r_gallery = self.reward_gallery_feats
         reward_model = self.reward
         direction = self.direction
+        rcfg_arch = reward_model.cfg if hasattr(reward_model, "cfg") else None
 
-        if direction == "i2t":
+        # Params and gallery features flow in as jit arguments — closure
+        # capture would bake them into the executable (compile explosion).
+        def full_episode(cparams, rparams, gallery, r_gallery, trainable0, query):
+            if direction == "i2t":
 
-            def policy_logits(visual, cache, idx):
-                params = {**clip_params, "visual": visual}
-                feats = clip_model.encode_image(params, cfg, cache["views"][idx])
-                feats = clip_model.normalize(feats.astype(jnp.float32))
-                return scale * jnp.dot(feats, gallery.T, preferred_element_type=jnp.float32)
+                def policy_logits(visual, cache, idx):
+                    params = {**cparams, "visual": visual}
+                    feats = clip_model.encode_image(params, cfg, cache["views"][idx])
+                    feats = clip_model.normalize(feats.astype(jnp.float32))
+                    return scale * jnp.dot(feats, gallery.T, preferred_element_type=jnp.float32)
 
-            def reward_sim(views_sel):
-                feats = reward_model.image_features(views_sel)
-                return jnp.dot(feats, r_gallery.T, preferred_element_type=jnp.float32)
+                def reward_sim(views_sel):
+                    res = rcfg_arch.image_resolution
+                    if views_sel.shape[1] != res:
+                        views_sel = jax.image.resize(
+                            views_sel, (views_sel.shape[0], res, res, views_sel.shape[-1]), method="bicubic"
+                        )
+                    feats = clip_model.normalize(
+                        clip_model.encode_image(rparams, rcfg_arch, views_sel).astype(jnp.float32)
+                    )
+                    return jnp.dot(feats, r_gallery.T, preferred_element_type=jnp.float32)
 
-        else:
+            else:
 
-            def policy_logits(text_params, cache, idx):
-                params = {**clip_params, "text": text_params}
-                feats = clip_model.encode_text(params, cfg, cache["views"][idx])
-                feats = clip_model.normalize(feats.astype(jnp.float32))
-                return scale * jnp.dot(feats, gallery.T, preferred_element_type=jnp.float32)
+                def policy_logits(text_params, cache, idx):
+                    params = {**cparams, "text": text_params}
+                    feats = clip_model.encode_text(params, cfg, cache["views"][idx])
+                    feats = clip_model.normalize(feats.astype(jnp.float32))
+                    return scale * jnp.dot(feats, gallery.T, preferred_element_type=jnp.float32)
 
-            def reward_sim(tokens_sel):
-                feats = reward_model.text_features(tokens_sel)
-                return jnp.dot(feats, r_gallery.T, preferred_element_type=jnp.float32)
+                def reward_sim(tokens_sel):
+                    feats = clip_model.normalize(
+                        clip_model.encode_text(rparams, rcfg_arch, tokens_sel).astype(jnp.float32)
+                    )
+                    return jnp.dot(feats, r_gallery.T, preferred_element_type=jnp.float32)
 
-        teacher_scale = jnp.exp(reward_model.params["logit_scale"]) if hasattr(reward_model, "params") else None
-        episode = make_tta_episode(
-            policy_logits,
-            reward_sim,
-            reward_model.score_samples,
-            # single query, no view selection: keep the one "view"
-            dataclasses.replace(self.ecfg, selection_p=1.0),
-            teacher_scale=teacher_scale,  # enables the KD variant (`clip_ret_kd.py:37-93`)
-            return_adapted=self.momentum_update,
-        )
-
-        def full_episode(trainable0, query):
-            # query: image [1, H, W, 3] or tokens [1, 77]
+            teacher_scale = jnp.exp(rparams["logit_scale"])
+            episode = make_tta_episode(
+                policy_logits,
+                reward_sim,
+                reward_model.score_samples,
+                # single query, no view selection: keep the one "view"
+                dataclasses.replace(self.ecfg, selection_p=1.0),
+                teacher_scale=teacher_scale,  # enables the KD variant (`clip_ret_kd.py:37-93`)
+                return_adapted=self.momentum_update,
+            )
             return episode(trainable0, {"views": query}, query)
 
-        self._episode = jax.jit(jax.vmap(full_episode, in_axes=(None, 0)))
+        self._episode = jax.jit(jax.vmap(full_episode, in_axes=(None, None, None, None, None, 0)))
 
     def adapt_queries(self, queries: np.ndarray) -> np.ndarray:
         """Run episodes for a group of queries -> score rows [N, gallery_size].
@@ -200,7 +208,9 @@ class RetrievalTTA:
         """
         q = jnp.asarray(queries)[:, None]  # add the singleton view axis
         start = self.momentum_state.reset_params if self.momentum_update else self.trainable0
-        logits, aux = self._episode(start, q)
+        logits, aux = self._episode(
+            self.clip_params, self.reward.params, self.gallery_feats, self.reward_gallery_feats, start, q
+        )
         if self.momentum_update:
             for i in range(q.shape[0]):
                 adapted_i = jax.tree_util.tree_map(lambda a: a[i], aux["adapted"])
