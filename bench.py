@@ -3,14 +3,21 @@
 Measures the reference's headline workload (`TPT/scripts/rlcf-prompt.sh`
 config: ViT-B/16 policy, ViT-L/14 frozen reward, 64 AugMix views/sample,
 selection_p=0.1, sample_k=3, tta_steps=3, 200 ImageNet-A classes) end to end
-on one chip: on-device view generation + jitted vmapped REINFORCE episodes.
+on one chip: view generation + jitted vmapped REINFORCE episodes.
 
 Weights are randomly initialized (no checkpoint egress in this environment);
 throughput is weight-independent.
 
+View generation backend (BENCH_VIEWGEN): "native" (default) runs the C++
+AugMix pipeline on host threads overlapped with device episodes —
+this environment's TPU executes non-matmul vector ops ~100x below real v5e
+VPU throughput (axon platform artifact; measured 2.4 Gelem/s elementwise vs
+fast MXU), which would otherwise drown the measurement; "device" uses the
+jitted TPU pipeline (the production default on real hardware).
+
 Baseline: the reference's per-sample A100 PyTorch throughput for this config.
 Not published in-repo (BASELINE.md: TBD); we use 1.5 img/s as the baseline
-estimate — 64-view ViT-B/16 forwards + 3x(1000-class text forward/backward)
+estimate — 64-view ViT-B/16 forwards + 3x(200-class text forward/backward)
 + ViT-L/14 reward forwards per sample put the reference's A100 wall clock at
 roughly 0.5-1 s/sample; 1.5 img/s is the generous end.
 
@@ -19,7 +26,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import queue
 import sys
+import threading
 import time
 
 import numpy as np
@@ -39,21 +48,19 @@ def main():
     from rlcf_tpu.core.reward import ClipReward, RewardConfig
     from rlcf_tpu.core.episode import EpisodeConfig
     from rlcf_tpu.tasks.classification import PromptTTAClassifier
-    from rlcf_tpu.data.augment import make_view_generator
     from rlcf_tpu.data.class_names import get_classnames
 
     n_views = int(os.environ.get("BENCH_VIEWS", 64))
     group = int(os.environ.get("BENCH_GROUP", 4))
-    iters = int(os.environ.get("BENCH_ITERS", 6))
+    iters = int(os.environ.get("BENCH_ITERS", 8))
+    backend = os.environ.get("BENCH_VIEWGEN", "native")
     dtype = jnp.bfloat16
 
     pcfg = C.get_config("ViT-B/16")
     rcfg = C.get_config("ViT-L/14")
     t0 = time.time()
-    init_p = jax.jit(lambda k: C.init_clip_params(k, pcfg, dtype=dtype))
-    init_r = jax.jit(lambda k: C.init_clip_params(k, rcfg, dtype=dtype))
-    pparams = init_p(jax.random.PRNGKey(0))
-    rparams = init_r(jax.random.PRNGKey(1))
+    pparams = jax.jit(lambda k: C.init_clip_params(k, pcfg, dtype=dtype))(jax.random.PRNGKey(0))
+    rparams = jax.jit(lambda k: C.init_clip_params(k, rcfg, dtype=dtype))(jax.random.PRNGKey(1))
     jax.block_until_ready(pparams)
     jax.block_until_ready(rparams)
     print(f"# init {time.time()-t0:.0f}s", file=sys.stderr)
@@ -65,25 +72,52 @@ def main():
     clf.setup(get_classnames("A"))  # 200 classes, the ImageNet-A flagship set
     print(f"# setup {time.time()-t0:.0f}s", file=sys.stderr)
 
-    gen = make_view_generator(n_views=n_views, resolution=224)
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 256, (group, 256, 256, 3), dtype=np.uint8)
 
-    # warm-up / compile
+    if backend == "native":
+        from rlcf_tpu.data.native import generate_views_native
+
+        def make_views(seed):
+            return generate_views_native(imgs, n_views=n_views, resolution=224, seed=seed)
+
+    else:
+        from rlcf_tpu.data.augment import make_view_generator
+
+        gen = make_view_generator(n_views=n_views, resolution=224)
+
+        def make_views(seed):
+            return gen(jnp.asarray(imgs), jax.random.split(jax.random.PRNGKey(seed), group))
+
+    # compile / warm up
     t0 = time.time()
-    views = gen(jnp.asarray(imgs), jax.random.split(jax.random.PRNGKey(0), group))
+    views = make_views(0)
     logits, _ = clf.adapt(views)
     np.asarray(logits)
     print(f"# compile+warmup {time.time()-t0:.0f}s", file=sys.stderr)
 
+    # pipelined: host viewgen (background thread) overlaps device episodes
+    q: "queue.Queue" = queue.Queue(maxsize=2)
+
+    def producer():
+        for i in range(iters):
+            q.put(make_views(i + 1))
+        q.put(None)
+
     t0 = time.time()
-    for i in range(iters):
-        views = gen(jnp.asarray(imgs), jax.random.split(jax.random.PRNGKey(i + 1), group))
-        logits, _ = clf.adapt(views)
-    np.asarray(logits)  # drain pipeline
+    threading.Thread(target=producer, daemon=True).start()
+    done = 0
+    logits = None
+    while True:
+        v = q.get()
+        if v is None:
+            break
+        logits, _ = clf.adapt(v)
+        done += group
+    np.asarray(logits)  # drain
     dt = time.time() - t0
-    img_per_sec = iters * group / dt
-    print(f"# steady {dt:.1f}s for {iters*group} episodes", file=sys.stderr)
+    img_per_sec = done / dt
+    print(f"# steady {dt:.1f}s for {done} episodes (viewgen={backend})", file=sys.stderr)
 
     print(
         json.dumps(

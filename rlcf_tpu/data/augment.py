@@ -5,8 +5,17 @@ Replaces the reference's host-side PIL pipeline (`TPT/data/datautils.py:75-128`
 workers doing PIL ops per view). Here the host only decodes each test image to
 a fixed canonical square (default 256x256 uint8); everything else — the
 ``RandomResizedCrop + HFlip`` pre-augment, the 3-chain AugMix with
-Dirichlet/Beta mixing, and CLIP normalization — runs as one jitted, vmapped
-program on device.
+Dirichlet/Beta mixing, and CLIP normalization — runs as one jitted program on
+device, fully batched over views:
+
+- RandomResizedCrop = two interpolation-matrix einsums (MXU), batched over
+  the per-view crop boxes;
+- each AugMix chain step = ONE fused Pallas shift-blend warp over the whole
+  view batch (matrix selected per view; identity for pixel ops) + closed-form
+  batched pixel transforms selected per view — no divergent `lax.switch`
+  (whose all-branch predication measured a 9x blowup) and no HBM round trips
+  inside the warp;
+- every op output is uint8-quantized like each PIL op in the reference chain.
 
 Distributional parity notes (sample-exact parity with PyTorch RNG is
 impossible; the reference itself reshuffles per run):
@@ -15,8 +24,9 @@ impossible; the reference itself reshuffles per run):
 - chain depth ~ uniform{1,2,3}, ops uniform over the 9-op set, weights ~
   Dirichlet(1,1,1), m ~ Beta(1,1) (`datautils.py:94-110`);
 - RandomResizedCrop follows torchvision's 10-attempt area/ratio sampler with
-  center-crop fallback, applied to the canonical square rather than the
-  original-resolution image.
+  center-crop fallback, applied to the canonical square;
+- rotations use a separable shift-blend warp exact to <=0.3 px at AugMix
+  severities (`ops/pallas_warp.py`).
 
 View 0 is the un-augmented base view (`datautils.py:125-128`).
 """
@@ -31,11 +41,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import image_ops as ops
+from ..ops.pallas_warp import shift_blend_warp_pallas
 from .transforms import CLIP_MEAN, CLIP_STD
 
 N_AUGMIX_OPS = 9
 MAX_CHAIN_DEPTH = 3
 N_CHAINS = 3
+WARP_MAX_SHIFT = 12
 
 
 def _int_param(level, maxval):
@@ -46,87 +58,204 @@ def _float_param(level, maxval):
     return level * maxval / 10.0
 
 
-def _apply_op(img, op_idx, u_level, u_sign, severity, image_size):
-    """Apply one of the 9 AugMix ops selected by ``op_idx``.
-
-    ``u_level``/``u_sign`` are U(0,1) draws; level = U(0.1, severity) as in
-    ``sample_level`` (`augmix_ops.py:52-53`).
-    """
-    level = 0.1 + u_level * (severity - 0.1)
-    sign = jnp.where(u_sign > 0.5, 1.0, -1.0)
-
-    branches = [
-        lambda im: ops.autocontrast(im),
-        lambda im: ops.equalize(im),
-        lambda im: ops.posterize(im, 4 - _int_param(level, 4).astype(jnp.int32)),
-        lambda im: ops.rotate(im, sign * _int_param(level, 30)),
-        lambda im: ops.solarize(im, 256.0 - _int_param(level, 256)),
-        lambda im: ops.shear_x(im, sign * _float_param(level, 0.3)),
-        lambda im: ops.shear_y(im, sign * _float_param(level, 0.3)),
-        lambda im: ops.translate_x(im, sign * _int_param(level, image_size / 3.0)),
-        lambda im: ops.translate_y(im, sign * _int_param(level, image_size / 3.0)),
-    ]
-    return jax.lax.switch(op_idx, branches, img)
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
 
 
-def _augmix_chains(img, rng, severity: float, image_size: int):
-    """3 chains of 1-3 random ops -> Dirichlet-weighted sum (`datautils.py:94-110`)."""
-    k_w, k_depth, k_ops, k_lv, k_sg = jax.random.split(rng, 5)
-    w = jax.random.dirichlet(k_w, jnp.ones((N_CHAINS,)))
-    depths = jax.random.randint(k_depth, (N_CHAINS,), 1, MAX_CHAIN_DEPTH + 1)
-    op_idx = jax.random.randint(k_ops, (N_CHAINS, MAX_CHAIN_DEPTH), 0, N_AUGMIX_OPS)
-    u_level = jax.random.uniform(k_lv, (N_CHAINS, MAX_CHAIN_DEPTH))
-    u_sign = jax.random.uniform(k_sg, (N_CHAINS, MAX_CHAIN_DEPTH))
-
-    def one_chain(chain):
-        def body(step, im):
-            out = _apply_op(im, op_idx[chain, step], u_level[chain, step], u_sign[chain, step], severity, image_size)
-            return jnp.where(step < depths[chain], out, im)
-
-        return jax.lax.fori_loop(0, MAX_CHAIN_DEPTH, body, img)
-
-    mix = jnp.zeros_like(img)
-    for chain in range(N_CHAINS):
-        mix = mix + w[chain] * one_chain(chain)
-    return mix
+# ---------------------------------------------------------------------------
+# Batched RandomResizedCrop (torchvision sampler + matmul resize)
+# ---------------------------------------------------------------------------
 
 
-def random_resized_crop(img, rng, out_size: int, scale=(0.08, 1.0), ratio=(3.0 / 4.0, 4.0 / 3.0)):
-    """torchvision RandomResizedCrop: 10 area/ratio attempts, center fallback."""
-    H, W = img.shape[0], img.shape[1]
-    area = H * W
+def _rrc_boxes(rng, n: int, H: int, W: int, scale, ratio=(3.0 / 4.0, 4.0 / 3.0)):
+    """Sample [n] crop boxes (top, left, h, w) with 10 attempts + fallback."""
     k_area, k_ratio, k_top, k_left = jax.random.split(rng, 4)
-    n = 10
-    target_area = jax.random.uniform(k_area, (n,), minval=scale[0], maxval=scale[1]) * area
-    log_ratio = jax.random.uniform(
-        k_ratio, (n,), minval=np.log(ratio[0]), maxval=np.log(ratio[1])
-    )
-    aspect = jnp.exp(log_ratio)
-    ws = jnp.sqrt(target_area * aspect)
-    hs = jnp.sqrt(target_area / aspect)
+    attempts = 10
+    area = H * W
+    ta = jax.random.uniform(k_area, (n, attempts), minval=scale[0], maxval=scale[1]) * area
+    lr = jax.random.uniform(k_ratio, (n, attempts), minval=np.log(ratio[0]), maxval=np.log(ratio[1]))
+    aspect = jnp.exp(lr)
+    ws = jnp.floor(jnp.sqrt(ta * aspect))
+    hs = jnp.floor(jnp.sqrt(ta / aspect))
     valid = (ws <= W) & (hs <= H) & (ws > 0) & (hs > 0)
-    first = jnp.argmax(valid)  # first valid attempt (or 0 if none)
-    any_valid = jnp.any(valid)
-    w = ws[first]
-    h = hs[first]
-    # integer crop geometry like torchvision
-    w = jnp.floor(w)
-    h = jnp.floor(h)
-    u_top = jax.random.uniform(k_top)
-    u_left = jax.random.uniform(k_left)
+    first = jnp.argmax(valid, axis=1)  # [n]
+    any_valid = jnp.any(valid, axis=1)
+    take = lambda arr: jnp.take_along_axis(arr, first[:, None], axis=1)[:, 0]
+    w = take(ws)
+    h = take(hs)
+    u_top = jax.random.uniform(k_top, (n,))
+    u_left = jax.random.uniform(k_left, (n,))
     top = jnp.floor(u_top * (H - h + 1))
     left = jnp.floor(u_left * (W - w + 1))
-    # fallback: central crop at clamped aspect
+    # fallback: clamped-aspect center crop
     in_ratio = W / H
-    fb_w = jnp.where(in_ratio < ratio[0], W, jnp.where(in_ratio > ratio[1], jnp.round(H * ratio[1]), W))
-    fb_h = jnp.where(in_ratio < ratio[0], jnp.round(W / ratio[0]), jnp.where(in_ratio > ratio[1], H, H))
+    fb_w = jnp.where(in_ratio < ratio[0], float(W), jnp.where(in_ratio > ratio[1], round(H * ratio[1]), float(W)))
+    fb_h = jnp.where(in_ratio < ratio[0], round(W / ratio[0]), float(H))
     fb_top = jnp.round((H - fb_h) / 2.0)
     fb_left = jnp.round((W - fb_w) / 2.0)
     top = jnp.where(any_valid, top, fb_top)
     left = jnp.where(any_valid, left, fb_left)
     h = jnp.where(any_valid, h, fb_h)
     w = jnp.where(any_valid, w, fb_w)
-    return ops.crop_and_resize(img, top, left, h, w, out_size, method="bilinear")
+    return top, left, h, w
+
+
+def _batched_resize_weights(src_size: int, out_size: int, start, length, dtype):
+    """[n, out, src] triangle-kernel interpolation matrices (antialiased)."""
+    n = start.shape[0]
+    scale = length / out_size  # [n]
+    centers = start[:, None] + (jnp.arange(out_size, dtype=dtype)[None, :] + 0.5) * scale[:, None]
+    src = jnp.arange(src_size, dtype=dtype)[None, None, :] + 0.5
+    inv = 1.0 / jnp.maximum(scale, 1.0)
+    d = (src - centers[..., None]) * inv[:, None, None]
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+    return w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
+
+
+def batched_random_resized_crop(imgs_or_img, rng, n: int, out_size: int, scale=(0.08, 1.0)):
+    """n crops of one image (or per-view images) -> [n, out, out, 3] (NHWC)."""
+    img = imgs_or_img
+    planar = img.transpose(2, 0, 1) if img.ndim == 3 else img.transpose(0, 3, 1, 2)
+    out = batched_random_resized_crop_planar(planar, rng, n, out_size, scale)
+    return out.transpose(0, 2, 3, 1)
+
+
+def batched_random_resized_crop_planar(planar, rng, n: int, out_size: int, scale=(0.08, 1.0)):
+    """Planar variant: img [C, H, W] (or [n, C, H, W]) -> [n, C, out, out]."""
+    H, W = planar.shape[-2], planar.shape[-1]
+    top, left, h, w = _rrc_boxes(rng, n, H, W, scale)
+    wy = _batched_resize_weights(H, out_size, top, h, planar.dtype)  # [n, out, H]
+    wx = _batched_resize_weights(W, out_size, left, w, planar.dtype)  # [n, out, W]
+    if planar.ndim == 3:
+        tmp = jnp.einsum("noh,chw->ncow", wy, planar, preferred_element_type=jnp.float32)
+    else:
+        tmp = jnp.einsum("noh,nchw->ncow", wy, planar, preferred_element_type=jnp.float32)
+    return jnp.einsum("npw,ncow->ncop", wx, tmp, preferred_element_type=jnp.float32).astype(planar.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Batched AugMix chain step
+# ---------------------------------------------------------------------------
+
+
+def _batched_affine_coords(mats, H: int, W: int):
+    """Per-view sampling coordinates from matrices [V, 6] (PIL half-pixel)."""
+    dtype = mats.dtype
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=dtype), jnp.arange(W, dtype=dtype), indexing="ij")
+    a, b, c = mats[:, 0, None, None], mats[:, 1, None, None], mats[:, 2, None, None]
+    d, e, f = mats[:, 3, None, None], mats[:, 4, None, None], mats[:, 5, None, None]
+    in_x = a * (xx + 0.5)[None] + b * (yy + 0.5)[None] + c - 0.5
+    in_y = d * (xx + 0.5)[None] + e * (yy + 0.5)[None] + f - 0.5
+    return in_x, in_y
+
+
+def _apply_op_batched(imgs, op_idx, u_level, u_sign, severity, image_size: int, use_pallas: bool):
+    """One AugMix chain step over the whole view batch.
+
+    imgs [V, C, H, W] (channel-planar — C-minor layouts suffer 42x TPU tile
+    padding); op_idx/u_level/u_sign [V]. One shared warp (matrix per view;
+    identity for pixel ops) + batched closed-form pixel ops.
+    """
+    V, C, H, W = imgs.shape
+    level = 0.1 + u_level * (severity - 0.1)
+    sign = jnp.where(u_sign > 0.5, 1.0, -1.0)
+
+    deg = sign * _int_param(level, 30)
+    theta = -jnp.deg2rad(deg)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    cx = cy = image_size / 2.0
+    shear = sign * _float_param(level, 0.3)
+    trans = sign * _int_param(level, image_size / 3.0)
+    zero = jnp.zeros_like(level)
+    one = jnp.ones_like(level)
+    eye = jnp.stack([one, zero, zero, zero, one, zero], axis=-1)  # [V, 6]
+    rot = jnp.stack([cos, sin, cx - cx * cos - cy * sin, -sin, cos, cy + cx * sin - cy * cos], axis=-1)
+    shx = jnp.stack([one, shear, zero, zero, one, zero], axis=-1)
+    shy = jnp.stack([one, zero, zero, shear, one, zero], axis=-1)
+    trx = jnp.stack([one, zero, trans, zero, one, zero], axis=-1)
+    try_ = jnp.stack([one, zero, zero, zero, one, trans], axis=-1)
+    mats = eye
+    mats = jnp.where((op_idx == 3)[:, None], rot, mats)
+    mats = jnp.where((op_idx == 5)[:, None], shx, mats)
+    mats = jnp.where((op_idx == 6)[:, None], shy, mats)
+    mats = jnp.where((op_idx == 7)[:, None], trx, mats)
+    mats = jnp.where((op_idx == 8)[:, None], try_, mats)
+
+    in_x, in_y = _batched_affine_coords(mats.astype(imgs.dtype), H, W)
+    if use_pallas:
+        from ..ops.pallas_warp import shift_blend_warp_planar
+
+        warped = shift_blend_warp_planar(imgs, in_x, in_y, max_shift=WARP_MAX_SHIFT)
+    else:
+        dx = jnp.clip(
+            jnp.floor(in_x).astype(jnp.int32) - jnp.arange(W, dtype=jnp.int32)[None, None, :],
+            -WARP_MAX_SHIFT, WARP_MAX_SHIFT,
+        )[:, None]
+        fxv = (in_x - jnp.floor(in_x))[:, None].astype(imgs.dtype)
+        dy = jnp.clip(
+            jnp.floor(in_y).astype(jnp.int32) - jnp.arange(H, dtype=jnp.int32)[None, :, None],
+            -WARP_MAX_SHIFT, WARP_MAX_SHIFT,
+        )[:, None]
+        fyv = (in_y - jnp.floor(in_y))[:, None].astype(imgs.dtype)
+        h = _planar_shift_blend(imgs, dx, fxv, WARP_MAX_SHIFT, axis=3)
+        warped = _planar_shift_blend(h, dy, fyv, WARP_MAX_SHIFT, axis=2)
+    x = jnp.round(warped)  # PIL quantizes after every op
+
+    # pixel ops (batched closed forms, selected per view)
+    sel = lambda o: (op_idx == o)[:, None, None, None]
+    lo = jnp.min(x, axis=(2, 3), keepdims=True)
+    hi = jnp.max(x, axis=(2, 3), keepdims=True)
+    auto = jnp.clip(jnp.floor((x - lo) * 255.0 / jnp.maximum(hi - lo, 1.0) + 1e-3), 0, 255)
+    auto = jnp.where(hi <= lo, x, auto)
+    eq = _planar_equalize(x)
+    bits = (4 - _int_param(level, 4)).astype(jnp.int32)
+    mask = ((0xFF00 >> bits) & 0xFF)[:, None, None, None]
+    post = (x.astype(jnp.int32) & mask).astype(x.dtype)
+    sol_t = (256.0 - _int_param(level, 256))[:, None, None, None]
+    sol = jnp.where(x >= sol_t, 255.0 - x, x)
+
+    out = jnp.where(sel(0), auto, x)
+    out = jnp.where(sel(1), eq, out)
+    out = jnp.where(sel(2), post, out)
+    out = jnp.where(sel(4), sol, out)
+    return out
+
+
+def _planar_shift_blend(x, delta, frac, bound: int, axis: int):
+    """Shift-blend over [V, C, H, W] along H (axis=2) or W (axis=3)."""
+    out = jnp.zeros_like(x)
+    size = x.shape[axis]
+    pos_shape = (1, 1, x.shape[2], x.shape[3])
+    pos = jax.lax.broadcasted_iota(jnp.int32, pos_shape, axis)
+    for d in range(-bound, bound + 1):
+        w = jnp.where(delta == d, 1.0 - frac, 0.0) + jnp.where(delta == d - 1, frac, 0.0)
+        src = pos + d
+        w = jnp.where((src >= 0) & (src < size), w, 0.0)
+        out = out + w.astype(x.dtype) * jnp.roll(x, -d, axis=axis)
+    return out
+
+
+def _planar_equalize(x):
+    """Batched PIL equalize over [V, C, H, W] (see image_ops.equalize_luts)."""
+    V, C, H, W = x.shape
+    idx = jnp.clip(x, 0, 255).astype(jnp.int32).reshape(V * C, H * W)
+    hist = jnp.sum(
+        (idx[:, :, None] == jnp.arange(256, dtype=jnp.int32)[None, None, :]).astype(jnp.int32), axis=1
+    )  # [VC, 256]
+    nonzero = hist > 0
+    last_nz = 255 - jnp.argmax(nonzero[:, ::-1], axis=1)
+    n_nonzero = jnp.sum(nonzero, axis=1)
+    total = jnp.sum(hist, axis=1)
+    h_last = jnp.take_along_axis(hist, last_nz[:, None], axis=1)[:, 0]
+    step = (total - h_last) // 255
+    cum = jnp.concatenate([jnp.zeros((V * C, 1), jnp.int32), jnp.cumsum(hist, axis=1)[:, :-1]], axis=1)
+    lut = jnp.clip((step[:, None] // 2 + cum) // jnp.maximum(step[:, None], 1), 0, 255)
+    identity = jnp.arange(256, dtype=lut.dtype)[None, :]
+    lut = jnp.where(((n_nonzero <= 1) | (step == 0))[:, None], identity, lut)
+    # flat gather: idx offset by row
+    flat_idx = (idx + jnp.arange(V * C, dtype=jnp.int32)[:, None] * 256).reshape(-1)
+    out = jnp.take(lut.reshape(-1), flat_idx)
+    return out.reshape(V, C, H, W).astype(x.dtype)
 
 
 def _normalize(img01):
@@ -141,6 +270,7 @@ def generate_views(
     augmix: bool = True,
     severity: float = 1.0,
     crop_min: float = 0.08,
+    use_pallas: Optional[bool] = None,
 ):
     """One test image -> [n_views, R, R, 3] normalized views.
 
@@ -148,28 +278,55 @@ def generate_views(
     View 0 = resize-only base view; views 1.. = RandomResizedCrop + HFlip,
     optionally AugMix-mixed with the Beta/Dirichlet recipe.
     """
+    if use_pallas is None:
+        use_pallas = _use_pallas()
     img = image.astype(jnp.float32)
-    base = jax.image.resize(img, (resolution, resolution, 3), method="bicubic")
+    V = n_views - 1
+    planar = img.transpose(2, 0, 1)  # [3, S, S] — C-minor layouts tile-pad 42x
+    mean = jnp.asarray(CLIP_MEAN, jnp.float32)[:, None, None]
+    std = jnp.asarray(CLIP_STD, jnp.float32)[:, None, None]
+    norm = lambda x255: (x255 / 255.0 - mean) / std
+
+    base = jax.image.resize(planar, (3, resolution, resolution), method="bicubic")
     base = jnp.clip(base, 0.0, 255.0)
 
-    def one_view(key):
-        k_crop, k_flip, k_mix, k_m = jax.random.split(key, 4)
-        x_orig = random_resized_crop(img, k_crop, resolution, scale=(crop_min, 1.0))
-        x_orig = jnp.clip(x_orig, 0.0, 255.0)
-        do_flip = jax.random.uniform(k_flip) < 0.5
-        x_orig = jnp.where(do_flip, ops.hflip(x_orig), x_orig)
-        if not augmix:
-            return _normalize(x_orig / 255.0)
-        mix = _augmix_chains(x_orig, k_mix, severity, resolution)
-        m = jax.random.uniform(k_m)  # Beta(1,1)
-        mixed = m * x_orig + (1.0 - m) * mix
-        return _normalize(mixed / 255.0)
+    k_crop, k_flip, k_chain, k_m, k_w = jax.random.split(rng, 5)
+    x_orig = batched_random_resized_crop_planar(planar, k_crop, V, resolution, scale=(crop_min, 1.0))
+    x_orig = jnp.clip(jnp.round(x_orig), 0.0, 255.0)  # [V, 3, R, R]
+    do_flip = jax.random.uniform(k_flip, (V,)) < 0.5
+    x_orig = jnp.where(do_flip[:, None, None, None], x_orig[:, :, :, ::-1], x_orig)
 
-    keys = jax.random.split(rng, n_views - 1)
-    # lax.map (chunked) bounds peak memory: a full vmap over 63 views of
-    # gather-heavy augmentation graphs blows past HBM at 224x224.
-    views = jax.lax.map(one_view, keys, batch_size=8)
-    return jnp.concatenate([_normalize(base / 255.0)[None], views], axis=0)
+    if not augmix:
+        views = norm(x_orig)
+    else:
+        k_depth, k_ops, k_lv, k_sg = jax.random.split(k_chain, 4)
+        depths = jax.random.randint(k_depth, (N_CHAINS, V), 1, MAX_CHAIN_DEPTH + 1)
+        op_idx = jax.random.randint(k_ops, (N_CHAINS, MAX_CHAIN_DEPTH, V), 0, N_AUGMIX_OPS)
+        u_level = jax.random.uniform(k_lv, (N_CHAINS, MAX_CHAIN_DEPTH, V))
+        u_sign = jax.random.uniform(k_sg, (N_CHAINS, MAX_CHAIN_DEPTH, V))
+        w = jax.random.dirichlet(k_w, jnp.ones((N_CHAINS,)), shape=(V,))  # [V, 3]
+        m = jax.random.uniform(k_m, (V,))
+
+        mix = jnp.zeros_like(x_orig)
+        for chain in range(N_CHAINS):
+            x_aug = x_orig
+            for step in range(MAX_CHAIN_DEPTH):
+                stepped = _apply_op_batched(
+                    x_aug, op_idx[chain, step], u_level[chain, step], u_sign[chain, step],
+                    severity, resolution, use_pallas,
+                )
+                active = (step < depths[chain])[:, None, None, None]
+                x_aug = jnp.where(active, stepped, x_aug)
+            mix = mix + w[:, chain][:, None, None, None] * norm(x_aug)
+        views = m[:, None, None, None] * norm(x_orig) + (1.0 - m)[:, None, None, None] * mix
+
+    out = jnp.concatenate([norm(base)[None], views], axis=0)  # [n_views, 3, R, R]
+    return out.transpose(0, 2, 3, 1)  # NHWC once, at the boundary
+
+
+def random_resized_crop(img, rng, out_size: int, scale=(0.08, 1.0), ratio=(3.0 / 4.0, 4.0 / 3.0)):
+    """Single-image RandomResizedCrop (kept for tests/host parity checks)."""
+    return batched_random_resized_crop(img, rng, 1, out_size, scale)[0]
 
 
 def make_view_generator(n_views: int, resolution: int = 224, augmix: bool = True, severity: float = 1.0, crop_min: float = 0.08):

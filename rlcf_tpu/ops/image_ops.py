@@ -21,40 +21,41 @@ from jax.scipy.ndimage import map_coordinates
 
 def _per_channel_lut(img, lut):
     """Apply per-channel 256-entry LUTs. img [H,W,C] float (integer-valued),
-    lut [C, 256]. Gathers run channels-first over a flat spatial axis so the
-    trailing dim stays large (TPU tile-padding, see affine_transform)."""
+    lut [C, 256]. One flat take over a [C*256] table (channel-offset
+    indices) — the fastest gather form measured on TPU."""
     H, W, C = img.shape
-    idx = jnp.clip(img, 0, 255).astype(jnp.int32).transpose(2, 0, 1).reshape(C, H * W)
-    out = jnp.take_along_axis(lut, idx, axis=1)  # [C, HW]
-    return out.reshape(C, H, W).transpose(1, 2, 0).astype(img.dtype)
+    idx = jnp.clip(img, 0, 255).astype(jnp.int32)
+    offsets = jnp.arange(C, dtype=jnp.int32) * 256
+    flat_idx = (idx + offsets[None, None, :]).reshape(-1)
+    out = jnp.take(lut.reshape(-1), flat_idx)
+    return out.reshape(H, W, C).astype(img.dtype)
 
 
 def autocontrast(img):
-    """Per-channel min/max stretch with PIL's truncating LUT (cutoff=0)."""
+    """Per-channel min/max stretch with PIL's truncating LUT (cutoff=0).
+
+    Closed form (identical to PIL's LUT math, no gathers): the small eps
+    keeps integer-exact multiples from flooring down (PIL computes in
+    doubles); (v - lo) * 255 is exact in fp32.
+    """
     x = jnp.round(img)
     lo = jnp.min(x, axis=(0, 1))  # [C]
     hi = jnp.max(x, axis=(0, 1))
-    levels = jnp.arange(256.0)[None, :]  # [1, 256]
-    # (i - lo) * 255 is integer-exact in fp32; the small eps keeps exact
-    # multiples from flooring down (PIL computes the LUT in doubles).
-    numer = (levels - lo[:, None]) * 255.0
-    denom = jnp.maximum(hi - lo, 1.0)[:, None]
-    lut = jnp.floor(numer / denom + 1e-3)
-    lut = jnp.clip(lut, 0, 255)
-    identity = jnp.broadcast_to(jnp.arange(256.0)[None, :], lut.shape)
-    lut = jnp.where((hi <= lo)[:, None], identity, lut)
-    return _per_channel_lut(x, lut)
+    denom = jnp.maximum(hi - lo, 1.0)
+    out = jnp.clip(jnp.floor((x - lo) * 255.0 / denom + 1e-3), 0, 255)
+    return jnp.where(hi <= lo, x, out).astype(img.dtype)
 
 
-def equalize(img):
-    """Per-channel histogram equalization with PIL's step LUT
-    (ImageOps.equalize): lut[i] = (step//2 + cumsum_{j<i} h[j]) // step,
-    step = (n_pixels - h[last nonzero bin]) // 255."""
-    x = jnp.round(img)
-    idx = jnp.clip(x, 0, 255).astype(jnp.int32)
+def equalize_luts(img):
+    """Per-channel PIL equalize LUTs [C, 256] (see :func:`equalize`)."""
+    idx = jnp.clip(jnp.round(img), 0, 255).astype(jnp.int32)
 
     def one_channel(ch_idx):
-        hist = jnp.zeros((256,), jnp.int32).at[ch_idx.reshape(-1)].add(1)
+        # one-hot compare-reduce histogram: TPU-friendly (scatter-add is slow)
+        flat = ch_idx.reshape(-1)
+        hist = jnp.sum(
+            (flat[:, None] == jnp.arange(256, dtype=flat.dtype)[None, :]).astype(jnp.int32), axis=0
+        )
         nonzero = hist > 0
         last_nz = 255 - jnp.argmax(nonzero[::-1])
         n_nonzero = jnp.sum(nonzero)
@@ -64,8 +65,14 @@ def equalize(img):
         identity = jnp.arange(256, dtype=lut.dtype)
         return jnp.where((n_nonzero <= 1) | (step == 0), identity, lut)
 
-    luts = jax.vmap(one_channel, in_axes=2)(idx).astype(img.dtype)  # [C, 256]
-    return _per_channel_lut(x, luts)
+    return jax.vmap(one_channel, in_axes=2)(idx).astype(img.dtype)  # [C, 256]
+
+
+def equalize(img):
+    """Per-channel histogram equalization with PIL's step LUT
+    (ImageOps.equalize): lut[i] = (step//2 + cumsum_{j<i} h[j]) // step,
+    step = (n_pixels - h[last nonzero bin]) // 255."""
+    return _per_channel_lut(jnp.round(img), equalize_luts(img))
 
 
 def posterize(img, bits):
@@ -80,17 +87,36 @@ def solarize(img, threshold):
     return jnp.where(x >= threshold, 255.0 - x, x).astype(img.dtype)
 
 
-def affine_transform(img, matrix):
-    """PIL ``Image.transform(size, AFFINE, matrix, BILINEAR)``.
+def _shift_blend(img, delta, frac, bound: int, axis: int):
+    """1-D bilinear resample with per-pixel integer shift + fraction.
 
-    ``matrix`` = (a, b, c, d, e, f): output (x, y) samples input
-    (a x + b y + c, d x + e y + f); out-of-bounds fills black.
+    out = (1-frac) * img[.., i+delta, ..] + frac * img[.., i+delta+1, ..]
+    expressed as a sum of ``roll`` passes over the static window
+    [-bound, bound] with per-pixel select masks. TPU-native: contiguous
+    rolls + elementwise selects run at HBM speed, where arbitrary-index
+    gathers measured ~10-50x slower and tile-pad badly.
+    """
+    out = jnp.zeros_like(img)
+    size = img.shape[axis]
+    pos = jax.lax.broadcasted_iota(jnp.int32, img.shape[:2], axis)[..., None]
+    for d in range(-bound, bound + 1):
+        w = jnp.where(delta == d, 1.0 - frac, 0.0) + jnp.where(delta == d - 1, frac, 0.0)
+        src = pos + d
+        w = jnp.where((src >= 0) & (src < size), w, 0.0)
+        out = out + w.astype(img.dtype) * jnp.roll(img, -d, axis=axis)
+    return out
 
-    TPU layout note: the bilinear corners are gathered channels-first along a
-    flat [H*W] axis (``take(img_cf, idx, axis=1)``). Per-channel [H, W]
-    gathers (or ``map_coordinates``) leave a trailing size-1/size-3 dim that
-    (8,128) tiling pads 42-128x, which OOMs when vmapped over 64-view
-    augmentation batches.
+
+def affine_transform_fast(img, matrix, max_shift: int = 12):
+    """Small-displacement affine warp as two separable shift-blend passes.
+
+    The AugMix geometric ops at reference severities displace pixels <= ~9px,
+    so the warp reduces to a static ±``max_shift`` window of contiguous
+    ``roll`` + select passes (HBM-speed) instead of arbitrary gathers
+    (measured 10-50x slower on v5e). Exact bilinear for shears/translates;
+    for rotations the two passes commute up to |b|*|dy| <= ~0.3 px of
+    sampling position (invisible at <=2-degree severities). Displacements
+    beyond ``max_shift`` clamp.
     """
     H, W, C = img.shape
     a, b, c, d, e, f = matrix
@@ -98,6 +124,33 @@ def affine_transform(img, matrix):
     xs = jnp.arange(W, dtype=img.dtype)
     yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
     # PIL maps pixel centers: in = M @ (out + 0.5), sampled at in - 0.5.
+    in_x = a * (xx + 0.5) + b * (yy + 0.5) + c - 0.5
+    in_y = d * (xx + 0.5) + e * (yy + 0.5) + f - 0.5
+
+    x0 = jnp.floor(in_x)
+    fx = (in_x - x0)[..., None]
+    dx = jnp.clip(x0.astype(jnp.int32) - xx.astype(jnp.int32), -max_shift, max_shift)[..., None]
+    h = _shift_blend(img, dx, fx, max_shift, axis=1)
+
+    y0 = jnp.floor(in_y)
+    fy = (in_y - y0)[..., None]
+    dy = jnp.clip(y0.astype(jnp.int32) - yy.astype(jnp.int32), -max_shift, max_shift)[..., None]
+    return _shift_blend(h, dy, fy, max_shift, axis=0)
+
+
+def affine_transform(img, matrix):
+    """PIL ``Image.transform(size, AFFINE, matrix, BILINEAR)``, exact.
+
+    ``matrix`` = (a, b, c, d, e, f): output (x, y) samples input
+    (a x + b y + c, d x + e y + f); out-of-bounds fills black. Gather-based
+    (channels-first flat layout to dodge TPU tile padding); the AugMix hot
+    path uses :func:`affine_transform_fast` instead.
+    """
+    H, W, C = img.shape
+    a, b, c, d, e, f = matrix
+    ys = jnp.arange(H, dtype=img.dtype)
+    xs = jnp.arange(W, dtype=img.dtype)
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
     in_x = (a * (xx + 0.5) + b * (yy + 0.5) + c - 0.5).reshape(-1)
     in_y = (d * (xx + 0.5) + e * (yy + 0.5) + f - 0.5).reshape(-1)
 
@@ -107,8 +160,7 @@ def affine_transform(img, matrix):
     wx = (in_x - x0)[None, :]
     y0 = y0.astype(jnp.int32)
     x0 = x0.astype(jnp.int32)
-
-    img_cf = img.transpose(2, 0, 1).reshape(C, H * W)  # channels-first flat
+    img_cf = img.transpose(2, 0, 1).reshape(C, H * W)
 
     def gather(yi, xi):
         valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
@@ -157,25 +209,31 @@ def hflip(img):
     return img[:, ::-1, :]
 
 
+def _resize_weights(src_size: int, out_size: int, start, length, dtype):
+    """Antialiased bilinear (triangle-kernel) interpolation matrix [out, src].
+
+    Matches PIL/scale_and_translate semantics: output center o+0.5 maps to
+    input coordinate start + (o+0.5)*scale; kernel support stretches by the
+    downscale factor; rows normalize to 1.
+    """
+    scale = length / out_size
+    centers = start + (jnp.arange(out_size, dtype=dtype) + 0.5) * scale  # input coords
+    src = jnp.arange(src_size, dtype=dtype) + 0.5
+    inv = 1.0 / jnp.maximum(scale, 1.0)
+    d = (src[None, :] - centers[:, None]) * inv
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+    return w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
+
+
 def crop_and_resize(img, top, left, height, width, out_size: int, method: str = "bilinear"):
     """Crop box (possibly fractional) then resize to [out_size, out_size].
 
-    Implemented with ``jax.image.scale_and_translate`` so the whole
-    RandomResizedCrop is one fused gather — the torchvision
-    ``resized_crop(..., InterpolationMode.BILINEAR)`` equivalent.
+    Expressed as two interpolation-matrix matmuls (MXU work) — measured much
+    faster in-graph than ``jax.image.scale_and_translate`` on v5e, same
+    antialiased-bilinear semantics as torchvision/PIL box resize.
     """
     H, W, C = img.shape
-    scale_y = out_size / height
-    scale_x = out_size / width
-    # output coord o maps to input: (o + 0.5)/scale - 0.5 + top
-    # scale_and_translate: in = (o - t)/s  => t chosen to align
-    ty = -(top) * scale_y
-    tx = -(left) * scale_x
-    return jax.image.scale_and_translate(
-        img,
-        (out_size, out_size, C),
-        (0, 1),
-        jnp.asarray([scale_y, scale_x], img.dtype),
-        jnp.asarray([ty, tx], img.dtype),
-        method=method,
-    )
+    wy = _resize_weights(H, out_size, top, height, img.dtype)  # [out, H]
+    wx = _resize_weights(W, out_size, left, width, img.dtype)  # [out, W]
+    tmp = jnp.einsum("oh,hwc->owc", wy, img, preferred_element_type=jnp.float32)
+    return jnp.einsum("pw,owc->opc", wx, tmp, preferred_element_type=jnp.float32).astype(img.dtype)
