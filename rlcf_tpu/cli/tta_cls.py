@@ -72,7 +72,7 @@ def main(argv=None):
         params, cfg, reward, ecfg, ctx_init=args.ctx_init or "a photo of a", n_ctx=args.n_ctx, ctx0=ctx0
     )
     gen = make_view_generator(
-        n_views=args.batch_size, resolution=args.resolution, augmix=bool(args.augmix)
+        n_views=args.batch_size, resolution=args.resolution, augmix=bool(args.augmix), hard_aug=bool(args.hard_aug)
     )
 
     import json as _json

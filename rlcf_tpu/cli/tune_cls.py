@@ -62,7 +62,7 @@ def main(argv=None):
         update_freq=args.update_freq, update_w=args.update_w, momentum=args.tta_momentum,
         bn_prior=None if args.prior_strength < 0 else args.prior_strength,
     )
-    gen = make_view_generator(n_views=args.batch_size, resolution=args.resolution, augmix=bool(args.augmix))
+    gen = make_view_generator(n_views=args.batch_size, resolution=args.resolution, augmix=bool(args.augmix), hard_aug=bool(args.hard_aug))
 
     results = {}
     for set_id in args.test_sets.split("/"):

@@ -262,6 +262,65 @@ def _normalize(img01):
     return (img01 - CLIP_MEAN) / CLIP_STD
 
 
+# ---------------------------------------------------------------------------
+# Hard (BYOL-style) pre-augmentation (`datautils.py:76-91`), planar batched
+# ---------------------------------------------------------------------------
+
+
+def _hard_aug_batched(x, rng):
+    """ColorJitter(0.4,0.4,0.2,0.1) p=0.5, grayscale p=0.2, blur(3) p=0.1.
+
+    x [V, 3, H, W] in [0,255]. Hue shift uses the standard YIQ rotation
+    (distributional, not PIL-exact — documented deviation).
+    """
+    V = x.shape[0]
+    ks = jax.random.split(rng, 9)
+    x01 = x / 255.0
+
+    # color jitter (applied in fixed order brightness/contrast/saturation/hue)
+    do_jit = (jax.random.uniform(ks[0], (V,)) < 0.5)[:, None, None, None]
+    b = jax.random.uniform(ks[1], (V,), minval=0.6, maxval=1.4)[:, None, None, None]
+    c = jax.random.uniform(ks[2], (V,), minval=0.6, maxval=1.4)[:, None, None, None]
+    s = jax.random.uniform(ks[3], (V,), minval=0.8, maxval=1.2)[:, None, None, None]
+    h = jax.random.uniform(ks[4], (V,), minval=-0.1, maxval=0.1) * 2.0 * np.pi
+
+    j = x01 * b
+    mean = jnp.mean(j, axis=(1, 2, 3), keepdims=True)
+    j = (j - mean) * c + mean
+    lum = (0.299 * j[:, 0] + 0.587 * j[:, 1] + 0.114 * j[:, 2])[:, None]
+    j = (j - lum) * s + lum
+    cos_h = jnp.cos(h)[:, None, None, None]
+    sin_h = jnp.sin(h)[:, None, None, None]
+    # YIQ hue rotation
+    yy = 0.299 * j[:, 0] + 0.587 * j[:, 1] + 0.114 * j[:, 2]
+    ii = 0.596 * j[:, 0] - 0.274 * j[:, 1] - 0.322 * j[:, 2]
+    qq = 0.211 * j[:, 0] - 0.523 * j[:, 1] + 0.312 * j[:, 2]
+    ii2 = ii * cos_h[:, 0] - qq * sin_h[:, 0]
+    qq2 = ii * sin_h[:, 0] + qq * cos_h[:, 0]
+    r = yy + 0.956 * ii2 + 0.621 * qq2
+    g = yy - 0.272 * ii2 - 0.647 * qq2
+    bl = yy - 1.106 * ii2 + 1.703 * qq2
+    j = jnp.stack([r, g, bl], axis=1)
+    x01 = jnp.where(do_jit, jnp.clip(j, 0.0, 1.0), x01)
+
+    # grayscale p=0.2
+    do_gray = (jax.random.uniform(ks[5], (V,)) < 0.2)[:, None, None, None]
+    gray = (0.299 * x01[:, 0] + 0.587 * x01[:, 1] + 0.114 * x01[:, 2])[:, None]
+    x01 = jnp.where(do_gray, jnp.broadcast_to(gray, x01.shape), x01)
+
+    # gaussian blur kernel-3 p=0.1, sigma ~ U(0.1, 2.0)
+    do_blur = (jax.random.uniform(ks[6], (V,)) < 0.1)[:, None, None, None]
+    sigma = jax.random.uniform(ks[7], (V,), minval=0.1, maxval=2.0)
+    w1 = jnp.exp(-0.5 / jnp.maximum(sigma, 1e-3) ** 2)  # [V]
+    k0 = 1.0 / (1.0 + 2.0 * w1)
+    k1 = (w1 * k0)[:, None, None, None]
+    k0 = k0[:, None, None, None]
+    blur_h = k0 * x01 + k1 * (jnp.roll(x01, 1, axis=3) + jnp.roll(x01, -1, axis=3))
+    blur = k0 * blur_h + k1 * (jnp.roll(blur_h, 1, axis=2) + jnp.roll(blur_h, -1, axis=2))
+    x01 = jnp.where(do_blur, blur, x01)
+    return jnp.clip(jnp.round(x01 * 255.0), 0.0, 255.0)
+
+
 def generate_views(
     image: jnp.ndarray,
     rng: jax.Array,
@@ -270,16 +329,21 @@ def generate_views(
     augmix: bool = True,
     severity: float = 1.0,
     crop_min: float = 0.08,
+    hard_aug: bool = False,
     use_pallas: Optional[bool] = None,
 ):
     """One test image -> [n_views, R, R, 3] normalized views.
 
     ``image``: canonical uint8/float square [S, S, 3] (host-decoded).
-    View 0 = resize-only base view; views 1.. = RandomResizedCrop + HFlip,
-    optionally AugMix-mixed with the Beta/Dirichlet recipe.
+    View 0 = resize-only base view; views 1.. = RandomResizedCrop + HFlip
+    (``hard_aug`` adds the BYOL jitter/gray/blur recipe with crop_min=0.2,
+    `datautils.py:76-91`), optionally AugMix-mixed with the Beta/Dirichlet
+    recipe.
     """
     if use_pallas is None:
         use_pallas = _use_pallas()
+    if hard_aug:
+        crop_min = max(crop_min, 0.2)
     img = image.astype(jnp.float32)
     V = n_views - 1
     planar = img.transpose(2, 0, 1)  # [3, S, S] — C-minor layouts tile-pad 42x
@@ -290,9 +354,11 @@ def generate_views(
     base = jax.image.resize(planar, (3, resolution, resolution), method="bicubic")
     base = jnp.clip(base, 0.0, 255.0)
 
-    k_crop, k_flip, k_chain, k_m, k_w = jax.random.split(rng, 5)
+    k_crop, k_flip, k_chain, k_m, k_w, k_hard = jax.random.split(rng, 6)
     x_orig = batched_random_resized_crop_planar(planar, k_crop, V, resolution, scale=(crop_min, 1.0))
     x_orig = jnp.clip(jnp.round(x_orig), 0.0, 255.0)  # [V, 3, R, R]
+    if hard_aug:
+        x_orig = _hard_aug_batched(x_orig, k_hard)
     do_flip = jax.random.uniform(k_flip, (V,)) < 0.5
     x_orig = jnp.where(do_flip[:, None, None, None], x_orig[:, :, :, ::-1], x_orig)
 
@@ -329,9 +395,13 @@ def random_resized_crop(img, rng, out_size: int, scale=(0.08, 1.0), ratio=(3.0 /
     return batched_random_resized_crop(img, rng, 1, out_size, scale)[0]
 
 
-def make_view_generator(n_views: int, resolution: int = 224, augmix: bool = True, severity: float = 1.0, crop_min: float = 0.08):
+def make_view_generator(
+    n_views: int, resolution: int = 224, augmix: bool = True, severity: float = 1.0,
+    crop_min: float = 0.08, hard_aug: bool = False,
+):
     """Jitted batched generator: (images [N,S,S,3], rngs [N]) -> [N,B,R,R,3]."""
     gen = functools.partial(
-        generate_views, n_views=n_views, resolution=resolution, augmix=augmix, severity=severity, crop_min=crop_min
+        generate_views, n_views=n_views, resolution=resolution, augmix=augmix,
+        severity=severity, crop_min=crop_min, hard_aug=hard_aug,
     )
     return jax.jit(jax.vmap(gen))

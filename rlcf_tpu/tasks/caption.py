@@ -254,19 +254,32 @@ class CaptionTTA:
         self.momentum_cfg = dict(momentum=momentum, update_freq=update_freq, update_w=update_w)
         self.momentum_state = Po.MomentumState.create(params["mapper"]) if momentum_update else None
         self._Po = Po
+        self._sample_counter = 0
 
         # LLM/reward params flow in as jit arguments (closure capture would
         # bake them into the executables — compile explosion at OPT-125m scale).
         reward_cfg_arch = self.reward.cfg
         rcfg = self.reward.rcfg
 
-        @jax.jit
-        def generate_k(opt_params, mapper_params, clip_emb):
-            prefix = prefix_tokens(mapper_params, ccfg, clip_emb)
-            seqs, _ = O.beam_generate(
-                opt_params, ccfg.opt, prefix, num_beams=sample_k, max_new_tokens=max_new_tokens, num_return=sample_k
-            )
-            return seqs  # [B, K, L]
+        if use_nucleus:
+
+            @jax.jit
+            def generate_k(opt_params, mapper_params, clip_emb, step_rng):
+                prefix = prefix_tokens(mapper_params, ccfg, clip_emb)
+                return O.nucleus_generate(
+                    opt_params, ccfg.opt, prefix, step_rng, num_captions=sample_k, max_new_tokens=max_new_tokens
+                )
+
+        else:
+
+            @jax.jit
+            def generate_k(opt_params, mapper_params, clip_emb, step_rng):
+                del step_rng
+                prefix = prefix_tokens(mapper_params, ccfg, clip_emb)
+                seqs, _ = O.beam_generate(
+                    opt_params, ccfg.opt, prefix, num_beams=sample_k, max_new_tokens=max_new_tokens, num_return=sample_k
+                )
+                return seqs  # [B, K, L]
 
         @jax.jit
         def generate_final(opt_params, mapper_params, clip_emb):
@@ -335,8 +348,10 @@ class CaptionTTA:
         P = self.ccfg.prefix_length
         opt_params = self.params["opt"]
         rparams = self.reward.params
-        for _ in range(self.tta_steps):
-            seqs = self._generate_k(opt_params, mapper, clip_emb)  # [1, K, L]
+        step_rng = jax.random.PRNGKey(self._sample_counter)
+        self._sample_counter += 1
+        for step in range(self.tta_steps):
+            seqs = self._generate_k(opt_params, mapper, clip_emb, jax.random.fold_in(step_rng, step))  # [1, K, L]
             texts, opt_tokens, opt_mask, clip_tokens = self._decode_and_retokenize(np.asarray(seqs[0]))
             rewards = self._reward_of(rparams, image, jnp.asarray(clip_tokens))
             if trace is not None:
