@@ -29,6 +29,7 @@ def get_args(argv=None):
     common.add_tta_args(p)
     p.add_argument("--loss", default="rlcf", choices=["rlcf", "tpt", "kd", "dkd", "atkd"])
     p.add_argument("--tpt", action="store_true", help="compat flag: TPT entropy loss")
+    p.add_argument("--cocoop", action="store_true", help="CoCoOp image-conditioned prompts (entropy TTA)")
     p.add_argument("--resume", action="store_true", help="continue from the progress journal in --output")
     return p.parse_args(argv)
 
@@ -67,10 +68,25 @@ def main(argv=None):
         min_entropy_reg=bool(args.min_entropy_reg),
         min_entropy_w=args.min_entropy_w,
     )
-    ctx0 = load_coop_ctx(args.load) if args.load else None
-    clf = PromptTTAClassifier(
-        params, cfg, reward, ecfg, ctx_init=args.ctx_init or "a photo of a", n_ctx=args.n_ctx, ctx0=ctx0
-    )
+    if args.cocoop:
+        from ..tasks.classification import CoCoOpTTAClassifier, convert_cocoop_checkpoint
+
+        ctx0 = meta_net = None
+        if args.load:
+            from ..models.convert import load_torch_file
+
+            ctx0, meta_net = convert_cocoop_checkpoint(load_torch_file(args.load))
+        import dataclasses as _dc
+
+        clf = CoCoOpTTAClassifier(
+            params, cfg, _dc.replace(ecfg, loss="tpt"),
+            ctx_init=args.ctx_init or "a photo of a", n_ctx=args.n_ctx, ctx0=ctx0, meta_net=meta_net,
+        )
+    else:
+        ctx0 = load_coop_ctx(args.load) if args.load else None
+        clf = PromptTTAClassifier(
+            params, cfg, reward, ecfg, ctx_init=args.ctx_init or "a photo of a", n_ctx=args.n_ctx, ctx0=ctx0
+        )
     gen = make_view_generator(
         n_views=args.batch_size, resolution=args.resolution, augmix=bool(args.augmix), hard_aug=bool(args.hard_aug)
     )

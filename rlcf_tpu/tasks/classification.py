@@ -157,7 +157,6 @@ class PromptTTAClassifier:
         pt = self.prompt_state
         clip_params, cfg = self.clip_params, self.clip_cfg
         scale = jnp.exp(clip_params["logit_scale"])
-        reward_class_feats = self.reward.class_features
         reward_model = self.reward
         ecfg = self.ecfg
 

@@ -1,0 +1,93 @@
+"""Mesh construction and episode sharding on the virtual 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rlcf_tpu.parallel.mesh import class_sharded, episode_shardings, make_mesh, replicate, shard_batched_episode
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(8, tp=2)
+    assert dict(mesh.shape) == {"dp": 4, "tp": 2}
+    mesh2 = make_mesh(8)
+    assert dict(mesh2.shape) == {"dp": 8, "tp": 1}
+    with pytest.raises(AssertionError):
+        make_mesh(8, dp=3, tp=2)
+
+
+def test_sharded_batched_episode_matches_single_device():
+    mesh = make_mesh(8)
+    W = jnp.asarray(np.random.default_rng(0).normal(size=(5, 8)).astype(np.float32))
+
+    def batched(xs):  # toy "episode": per-sample matmul + reduction
+        return jax.vmap(lambda x: jnp.tanh(x @ W.T).sum())(xs)
+
+    xs = jnp.asarray(np.random.default_rng(1).normal(size=(16, 8)).astype(np.float32))
+    sharded = shard_batched_episode(batched, mesh)
+    data_sharding, _ = episode_shardings(mesh)
+    out_sharded = sharded(jax.device_put(xs, data_sharding))
+    out_plain = batched(xs)
+    np.testing.assert_allclose(np.asarray(out_sharded), np.asarray(out_plain), rtol=1e-6)
+
+
+def test_class_sharded_and_replicate():
+    mesh = make_mesh(8, tp=2)
+    arr = jnp.arange(32.0).reshape(8, 4)
+    sharded = class_sharded(mesh, arr, axis=0)
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(arr))
+    tree = replicate(mesh, {"a": jnp.ones((3,))})
+    np.testing.assert_array_equal(np.asarray(tree["a"]), np.ones((3,)))
+
+
+def test_prompt_episode_under_mesh():
+    """A real (tiny) prompt-TTA episode runs sharded over dp."""
+    from rlcf_tpu.core.episode import EpisodeConfig, make_tta_episode
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    W = jnp.asarray(rng.normal(size=(5, 8)).astype(np.float32))
+    r_sim = jnp.asarray(rng.uniform(-0.2, 1.0, size=(16, 5)).astype(np.float32))
+
+    def policy_logits(ctx, cache, idx):
+        return cache["img"][idx] @ (W + ctx).T
+
+    from rlcf_tpu.core.reward import ClipReward, RewardConfig
+
+    reward = ClipReward.__new__(ClipReward)
+    reward.rcfg = RewardConfig(sample_k=3)
+    ecfg = EpisodeConfig(tta_steps=2, selection_p=0.25, lr=0.05, weight_decay=0.0, sample_k=3)
+    ep = make_tta_episode(
+        policy_logits, lambda v: r_sim[v[:, 0].astype(jnp.int32)], reward.score_samples, ecfg
+    )
+
+    def batched(imgs, views):
+        return jax.vmap(lambda i, v: ep(jnp.zeros((5, 8)), {"img": i}, v)[0])(imgs, views)
+
+    imgs = jnp.asarray(rng.normal(size=(8, 16, 8)).astype(np.float32))
+    views = jnp.tile(jnp.arange(16, dtype=jnp.float32)[None, :, None], (8, 1, 1))
+    data = NamedSharding(mesh, P("dp"))
+    out = jax.jit(batched, in_shardings=(data, data))(
+        jax.device_put(imgs, data), jax.device_put(views, data)
+    )
+    ref = batched(imgs, views)
+    # sharded execution reorders reductions; tolerance covers fp32 noise
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_prefetch_iterator():
+    from rlcf_tpu.data.datasets import PrefetchIterator
+
+    items = list(PrefetchIterator(iter(range(10)), depth=3))
+    assert items == list(range(10))
+
+    def boom():
+        yield 1
+        raise ValueError("boom")
+
+    it = PrefetchIterator(boom())
+    assert next(it) == 1
+    with pytest.raises(ValueError):
+        list(it)
