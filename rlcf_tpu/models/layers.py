@@ -134,17 +134,21 @@ def batch_norm_2d(x, p, eps: float = 1e-5, prior: float | None = None):
 
 
 def conv2d(x, w, stride: int = 1, padding="SAME"):
-    """NHWC conv with HWIO weights."""
+    """NHWC conv with HWIO weights.
+
+    No ``preferred_element_type``: its transposed (backward) conv rejects the
+    mixed bf16/f32 operands that arise when the loss upstream is fp32; TPU
+    MXU accumulates bf16 convs in fp32 internally regardless.
+    """
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
     return jax.lax.conv_general_dilated(
         x,
-        w,
+        w.astype(x.dtype),
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
 
 
 def avg_pool(x, window: int):

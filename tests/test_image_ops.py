@@ -148,3 +148,22 @@ def test_views_in_valid_normalized_range():
     hi = (1.0 - CLIP_MEAN) / CLIP_STD
     assert views.min() >= lo.min() - 1e-4
     assert views.max() <= hi.max() + 1e-4
+
+
+def test_generate_views_hard_aug():
+    key = jax.random.PRNGKey(0)
+    views = generate_views(jnp.asarray(IMG), key, n_views=6, resolution=32, hard_aug=True)
+    assert views.shape == (6, 32, 32, 3)
+    assert np.isfinite(np.asarray(views)).all()
+    v2 = generate_views(jnp.asarray(IMG), key, n_views=6, resolution=32, hard_aug=True)
+    np.testing.assert_array_equal(np.asarray(views), np.asarray(v2))
+
+
+def test_augmix_views_statistics():
+    """Augmented views stay in the valid normalized range and differ from the
+    base view with non-degenerate spread."""
+    views = np.asarray(generate_views(jnp.asarray(IMG), jax.random.PRNGKey(1), n_views=16, resolution=32))
+    base = views[0]
+    diffs = [np.abs(views[i] - base).mean() for i in range(1, 16)]
+    assert min(diffs) > 0.01  # every view is actually augmented
+    assert np.std(diffs) > 0.005  # and they differ from each other
