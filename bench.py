@@ -75,49 +75,71 @@ def main():
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 256, (group, 256, 256, 3), dtype=np.uint8)
 
+    from rlcf_tpu.data.augment import make_view_generator
+
+    gen = make_view_generator(n_views=n_views, resolution=224)
+
+    def make_views_device(seed):
+        return gen(jnp.asarray(imgs), jax.random.split(jax.random.PRNGKey(seed), group))
+
     if backend == "native":
         from rlcf_tpu.data.native import generate_views_native
 
-        def make_views(seed):
+        def make_views_host(seed):
             return generate_views_native(imgs, n_views=n_views, resolution=224, seed=seed)
 
     else:
-        from rlcf_tpu.data.augment import make_view_generator
+        make_views_host = None
 
-        gen = make_view_generator(n_views=n_views, resolution=224)
-
-        def make_views(seed):
-            return gen(jnp.asarray(imgs), jax.random.split(jax.random.PRNGKey(seed), group))
-
-    # compile / warm up
+    # compile / warm up both paths
     t0 = time.time()
-    views = make_views(0)
+    views = make_views_device(0)
     logits, _ = clf.adapt(views)
     np.asarray(logits)
+    if make_views_host is not None:
+        views = make_views_host(0)
+        logits, _ = clf.adapt(views)
+        np.asarray(logits)
     print(f"# compile+warmup {time.time()-t0:.0f}s", file=sys.stderr)
 
-    # pipelined: host viewgen (background thread) overlaps device episodes
-    q: "queue.Queue" = queue.Queue(maxsize=2)
-
-    def producer():
-        for i in range(iters):
-            q.put(make_views(i + 1))
-        q.put(None)
-
+    # Hybrid pipeline: a host thread produces view groups (C++ AugMix) while
+    # idle device time generates additional groups on-device; episodes consume
+    # both streams. On hosts with many cores the host stream dominates; here
+    # (1 core + slow-vector-op TPU) the mix roughly doubles host-only rates.
     t0 = time.time()
-    threading.Thread(target=producer, daemon=True).start()
     done = 0
     logits = None
-    while True:
-        v = q.get()
-        if v is None:
-            break
-        logits, _ = clf.adapt(v)
-        done += group
+    if make_views_host is not None:
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def producer():
+            for i in range(iters):
+                q.put(make_views_host(i + 1))
+            q.put(None)
+
+        threading.Thread(target=producer, daemon=True).start()
+        # Deterministic interleave (device dispatch is async, so idle-probing
+        # is misleading): one device-generated group per 3 host groups keeps
+        # total device time under the host production rate on this machine.
+        i = 0
+        while True:
+            v = q.get()
+            if v is None:
+                break
+            logits, _ = clf.adapt(v)
+            done += group
+            if i % 3 == 0:
+                logits, _ = clf.adapt(make_views_device(10_000 + i))
+                done += group
+            i += 1
+    else:
+        for i in range(iters):
+            logits, _ = clf.adapt(make_views_device(i + 1))
+            done += group
     np.asarray(logits)  # drain
     dt = time.time() - t0
     img_per_sec = done / dt
-    print(f"# steady {dt:.1f}s for {done} episodes (viewgen={backend})", file=sys.stderr)
+    print(f"# steady {dt:.1f}s for {done} episodes (viewgen={backend}+hybrid)", file=sys.stderr)
 
     print(
         json.dumps(

@@ -132,7 +132,10 @@ class PromptTTAClassifier:
     ``tta_steps`` REINFORCE updates of the shared initial context.
     """
 
-    def __init__(self, clip_params, clip_cfg, reward, ecfg, ctx_init="a photo of a", n_ctx=4, ctx0=None):
+    def __init__(
+        self, clip_params, clip_cfg, reward, ecfg, ctx_init="a photo of a", n_ctx=4, ctx0=None,
+        learned_cls: bool = False,
+    ):
         from ..core.episode import make_tta_episode
         from ..core import prompt as P
 
@@ -143,6 +146,7 @@ class PromptTTAClassifier:
         self.ctx_init = ctx_init
         self.n_ctx = n_ctx
         self.ctx0_override = ctx0
+        self.learned_cls = learned_cls  # trainable class token (Bongard mode)
         self._make_tta_episode = make_tta_episode
         self._P = P
         self.prompt_state = None
@@ -151,7 +155,8 @@ class PromptTTAClassifier:
     def setup(self, classnames: Sequence[str]):
         P = self._P
         self.prompt_state = P.build_prompt_state(
-            self.clip_params, classnames, ctx_init=self.ctx_init, n_ctx=self.n_ctx, ctx0=self.ctx0_override
+            self.clip_params, classnames, ctx_init=self.ctx_init, n_ctx=self.n_ctx,
+            ctx0=self.ctx0_override, learned_cls=self.learned_cls,
         )
         self.reward.set_class_features(tokenized=self.prompt_state.tokenized)
         pt = self.prompt_state
@@ -165,8 +170,15 @@ class PromptTTAClassifier:
         # constants baked into the executable — with 430M reward+policy
         # params that produced multi-hundred-MB executables and pathological
         # (or crashing) compiles on the TPU compile service.
-        def text_features(cparams, ctx):
-            prompts = P.splice_prompts(ctx, pt)
+        if self.learned_cls:
+            trainable0 = {"ctx": pt.ctx0, "cls": pt.cls0}
+            splice = lambda tr: P.splice_prompts(tr["ctx"], pt, cls=tr["cls"])
+        else:
+            trainable0 = pt.ctx0
+            splice = lambda tr: P.splice_prompts(tr, pt)
+
+        def text_features(cparams, trainable):
+            prompts = splice(trainable)
             feats = clip_model.encode_text_embeds(cparams, cfg, prompts, pt.eot_idx)
             return clip_model.normalize(feats.astype(jnp.float32))
 
@@ -175,7 +187,7 @@ class PromptTTAClassifier:
         # selection forward; here it costs one setup-time forward). The two
         # stages compile separately — the frozen towers (stage A) and the
         # text-tower TTA scan (stage B) — keeping graphs small.
-        tf0 = jax.jit(text_features)(clip_params, pt.ctx0)
+        tf0 = jax.jit(text_features)(clip_params, trainable0)
 
         from ..core import losses as Lo
         from ..core.episode import make_optimizer, step_loss
@@ -244,7 +256,9 @@ class PromptTTAClassifier:
                 upd, opt_state = opt.update(g, opt_state, ctx)
                 return (optax.apply_updates(ctx, upd), opt_state), loss
 
-            (ctx_t, _), losses = jax.lax.scan(step, (pt.ctx0, opt.init(pt.ctx0)), None, length=ecfg.tta_steps)
+            (ctx_t, _), losses = jax.lax.scan(
+                step, (trainable0, opt.init(trainable0)), None, length=ecfg.tta_steps
+            )
             tf_final = text_features(cparams, ctx_t) if ecfg.tta_steps > 0 else tf0_
             final = scale * jnp.dot(img_feats[:1], tf_final.T, preferred_element_type=jnp.float32)
             return final[0], losses
