@@ -50,11 +50,24 @@ def main():
     from rlcf_tpu.tasks.classification import PromptTTAClassifier
     from rlcf_tpu.data.class_names import get_classnames
 
+    n_devices = len(jax.devices())
     n_views = int(os.environ.get("BENCH_VIEWS", 64))
-    group = int(os.environ.get("BENCH_GROUP", 4))
+    group = int(os.environ.get("BENCH_GROUP", max(4, 2 * n_devices)))
     iters = int(os.environ.get("BENCH_ITERS", 8))
     backend = os.environ.get("BENCH_VIEWGEN", "native")
     dtype = jnp.bfloat16
+
+    # Multi-chip: shard the episode group over a dp mesh (episodes are
+    # embarrassingly parallel); single chip: no-op.
+    if n_devices > 1:
+        from rlcf_tpu.parallel.mesh import episode_shardings, make_mesh
+
+        mesh = make_mesh()
+        data_sharding, _ = episode_shardings(mesh)
+        shard = lambda v: jax.device_put(jnp.asarray(v), data_sharding)
+        print(f"# mesh: dp={n_devices}", file=sys.stderr)
+    else:
+        shard = lambda v: v
 
     pcfg = C.get_config("ViT-B/16")
     rcfg = C.get_config("ViT-L/14")
@@ -126,15 +139,15 @@ def main():
             v = q.get()
             if v is None:
                 break
-            logits, _ = clf.adapt(v)
+            logits, _ = clf.adapt(shard(v))
             done += group
             if i % 3 == 0:
-                logits, _ = clf.adapt(make_views_device(10_000 + i))
+                logits, _ = clf.adapt(shard(make_views_device(10_000 + i)))
                 done += group
             i += 1
     else:
         for i in range(iters):
-            logits, _ = clf.adapt(make_views_device(i + 1))
+            logits, _ = clf.adapt(shard(make_views_device(i + 1)))
             done += group
     np.asarray(logits)  # drain
     dt = time.time() - t0

@@ -46,8 +46,27 @@ class RetrievalGallery:
     txt2img: Dict[int, int]
 
 
-def load_karpathy_annotations(ann_path: str, vis_root: str = "") -> RetrievalGallery:
-    """LAVIS retrieval annotation json: [{"image": rel, "caption": [...]}]."""
+def blip_caption_process(caption: str, prompt: str = "", max_words: int = 50) -> str:
+    """LAVIS ``BlipCaptionProcessor`` text cleaning
+    (`retrieval/lavis/processors/blip_processors.py:29-68`): lowercase,
+    punctuation subset -> space, whitespace collapse, word-truncate."""
+    import re as _re
+
+    caption = _re.sub(r"([.!\"()*#:;~])", " ", caption.lower())
+    caption = _re.sub(r"\s{2,}", " ", caption)
+    caption = caption.rstrip("\n").strip(" ")
+    words = caption.split(" ")
+    if len(words) > max_words:
+        caption = " ".join(words[:max_words])
+    return prompt + caption
+
+
+def load_karpathy_annotations(ann_path: str, vis_root: str = "", process_text: bool = True) -> RetrievalGallery:
+    """LAVIS retrieval annotation json: [{"image": rel, "caption": [...]}].
+
+    ``process_text`` applies the blip_caption processor the reference eval
+    datasets run on every caption (`retrieval_datasets.py:83`).
+    """
     with open(ann_path) as fh:
         annotations = json.load(fh)
     image_paths, texts = [], []
@@ -58,7 +77,7 @@ def load_karpathy_annotations(ann_path: str, vis_root: str = "") -> RetrievalGal
         img2txt[img_id] = []
         caps = ann["caption"] if isinstance(ann["caption"], list) else [ann["caption"]]
         for cap in caps:
-            texts.append(cap)
+            texts.append(blip_caption_process(cap) if process_text else cap)
             img2txt[img_id].append(tid)
             txt2img[tid] = img_id
             tid += 1
@@ -237,4 +256,15 @@ def zero_shot_scores(clip_params, cfg, image_feats, text_feats):
     """Zero-shot score matrices (`retrieval/zero_shot.py:24-36`)."""
     scale = jnp.exp(clip_params["logit_scale"])
     i2t = scale * jnp.dot(image_feats, text_feats.T, preferred_element_type=jnp.float32)
+    return np.asarray(i2t), np.asarray(i2t.T)
+
+
+def zero_shot_scores_ensemble(models, image_feats_list, text_feats_list):
+    """Multi-arch zero-shot retrieval: mean of per-model scaled sims
+    (`retrieval/zero_shot.py:24-36` via CLIPRet_Multiple)."""
+    mats = []
+    for (params, _cfg), ifeat, tfeat in zip(models, image_feats_list, text_feats_list):
+        scale = jnp.exp(params["logit_scale"])
+        mats.append(scale * jnp.dot(ifeat, tfeat.T, preferred_element_type=jnp.float32))
+    i2t = jnp.mean(jnp.stack(mats), axis=0)
     return np.asarray(i2t), np.asarray(i2t.T)

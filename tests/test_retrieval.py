@@ -139,3 +139,12 @@ def test_momentum_retrieval(setup):
         lambda a, b: float(jnp.abs(a - b).max()), tta.momentum_state.reset_params, tta.trainable0
     )
     assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+def test_blip_caption_process():
+    from rlcf_tpu.tasks.retrieval import blip_caption_process
+
+    assert blip_caption_process('A Man "Rides"! a wave.') == "a man rides a wave"
+    long = " ".join(["word"] * 60)
+    assert len(blip_caption_process(long).split()) == 50
+    assert blip_caption_process("hi", prompt="a photo of ") == "a photo of hi"
