@@ -338,22 +338,30 @@ void generate_views_one(const uint8_t* image, int h, int w, int n_views, int res
       normalize_into(x_orig, dst);
       continue;
     }
-    // Dirichlet(1,1,1) weights + Beta(1,1) mix
+    // Dirichlet(1,1,1) weights + Beta(1,1) mix. Normalization is affine, so
+    // mixing happens on raw uint8 values with ONE normalize pass at the end
+    // (saves ~4 full-image float passes per view; identical math).
     float g[3] = {rng.gamma1(), rng.gamma1(), rng.gamma1()};
     const float gsum = g[0] + g[1] + g[2];
     const float m = rng.uniform();
-    std::vector<float> mixed(view_stride, 0.0f);
-    std::vector<float> chain_norm(view_stride);
+    ImageU8 chains[3];
+    float wc[3];
     for (int chain = 0; chain < 3; ++chain) {
-      ImageU8 x_aug = x_orig;
+      chains[chain] = x_orig;
       const int depth = rng.randint(1, 4);
-      for (int step = 0; step < depth; ++step) apply_random_op(x_aug, rng, severity, resolution);
-      normalize_into(x_aug, chain_norm.data());
-      const float wc = g[chain] / gsum;
-      for (size_t i = 0; i < view_stride; ++i) mixed[i] += wc * chain_norm[i];
+      for (int step = 0; step < depth; ++step)
+        apply_random_op(chains[chain], rng, severity, resolution);
+      wc[chain] = (1 - m) * g[chain] / gsum;
     }
-    normalize_into(x_orig, chain_norm.data());
-    for (size_t i = 0; i < view_stride; ++i) dst[i] = m * chain_norm[i] + (1 - m) * mixed[i];
+    const size_t n_px = static_cast<size_t>(resolution) * resolution;
+    for (size_t i = 0; i < n_px; ++i) {
+      for (int ch = 0; ch < 3; ++ch) {
+        const size_t k = i * 3 + ch;
+        const float mixed = m * x_orig.data[k] + wc[0] * chains[0].data[k] +
+                            wc[1] * chains[1].data[k] + wc[2] * chains[2].data[k];
+        dst[k] = (mixed / 255.0f - kClipMean[ch]) / kClipStd[ch];
+      }
+    }
   }
 }
 
