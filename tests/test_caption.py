@@ -202,3 +202,30 @@ def test_caption_predict_only(tiny_caption, tiny_gpt2_tok):
     tta = Cap.CaptionTTA(params, ccfg, reward, tiny_gpt2_tok, tta_steps=0, sample_k=3, max_new_tokens=6)
     caps = tta.predict_only(np.zeros((2, 16), np.float32))
     assert len(caps) == 2
+
+
+def test_caption_ce_matches_torch_reference_formula(tiny_caption):
+    """The TTA loss slice matches the reference computation
+    (`capdec_tta.py:119-124`): CE(logits[P-1:-1], tokens, ignore_index=0,
+    reduction='none').mean(-1) weighted by rewards."""
+    import torch
+    import torch.nn.functional as F
+
+    params, ccfg = tiny_caption
+    P = ccfg.prefix_length
+    rng = np.random.default_rng(0)
+    K, T, V = 3, 6, ccfg.opt.vocab_size
+    logits = rng.normal(size=(K, P + T, V)).astype(np.float32)
+    tokens = rng.integers(0, V, size=(K, T)).astype(np.int64)
+    tokens[0, -1] = 0  # exercise ignore_index
+    rewards = rng.normal(size=(K,)).astype(np.float32)
+
+    t_logits = torch.from_numpy(logits)[:, P - 1 : -1]
+    all_loss = F.cross_entropy(
+        t_logits.reshape(-1, V), torch.from_numpy(tokens).flatten(), ignore_index=0, reduction="none"
+    ).reshape(K, -1)
+    ref = torch.mean(torch.from_numpy(rewards) * all_loss.mean(dim=-1)).item()
+
+    per_caption = Cap.caption_ce(jnp.asarray(logits), jnp.asarray(tokens.astype(np.int32)), P, per_sample=True)
+    mine = float(jnp.mean(jnp.asarray(rewards) * per_caption))
+    assert abs(mine - ref) < 1e-5
