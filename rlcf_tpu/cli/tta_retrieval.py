@@ -57,7 +57,7 @@ def main(argv=None):
     from ..core.episode import EpisodeConfig
     from ..data.transforms import preprocess_pil
     from ..metrics.retrieval import retrieval_metrics
-    from ..tasks.retrieval import RetrievalTTA, load_karpathy_annotations, encode_image_gallery
+    from ..tasks.retrieval import RetrievalTTA, load_karpathy_annotations
     from ..tokenizer import tokenize
     from ..utils.config import save_hparams
     from ..utils.logging_utils import RunLogger

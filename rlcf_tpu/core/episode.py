@@ -26,7 +26,6 @@ entropy, `tpt_cls.py:49-78`), "kd"/"dkd"/"atkd" (`tune_cls_kd.py:34-61`).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Callable, Optional
 
 import jax

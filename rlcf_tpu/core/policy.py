@@ -19,7 +19,6 @@ import dataclasses
 from typing import Any, Callable, Tuple
 
 import jax
-import jax.numpy as jnp
 
 
 def _path_str(path) -> str:

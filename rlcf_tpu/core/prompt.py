@@ -25,7 +25,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..tokenizer import get_tokenizer, tokenize
-from ..data.class_names import assemble_prompts
 
 
 @dataclasses.dataclass

@@ -41,7 +41,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import image_ops as ops
-from ..ops.pallas_warp import shift_blend_warp_pallas
 from .transforms import CLIP_MEAN, CLIP_STD
 
 N_AUGMIX_OPS = 9

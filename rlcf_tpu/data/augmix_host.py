@@ -14,7 +14,7 @@ Also includes the "hard" BYOL-style recipe (`datautils.py:76-91`).
 from __future__ import annotations
 
 import math
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 from PIL import Image, ImageEnhance, ImageFilter, ImageOps

@@ -7,7 +7,7 @@ ground-truth image per caption; plus per-direction and overall means.
 
 from __future__ import annotations
 
-from typing import Dict, List, Mapping, Sequence
+from typing import Dict, Mapping, Sequence
 
 import numpy as np
 

@@ -18,8 +18,6 @@ Converters ingest ClipCap/CapDec torch checkpoints (``clip_project.*`` keys).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -15,7 +15,7 @@ vestigial NCCL path (`retrieval/lavis/common/dist_utils.py:57-90`).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np
