@@ -91,3 +91,47 @@ def test_prefetch_iterator():
     assert next(it) == 1
     with pytest.raises(ValueError):
         list(it)
+
+
+def test_tp_sharded_text_features_match_unsharded():
+    """Class-axis tp sharding of the prompt text tower is exact, incl. grads."""
+    from rlcf_tpu.core import prompt as Pr
+    from rlcf_tpu.models import clip as C
+    from rlcf_tpu.parallel.tp_prompt import make_tp_text_features, shard_prompt_state, tp_logits_fn
+    from rlcf_tpu.parallel.mesh import make_mesh
+
+    cfg = C.ClipConfig("tp-test", 16, 32, 1, 32, 16, 32, 1, vision_heads_override=2, text_heads_override=2)
+    params = C.init_clip_params(jax.random.PRNGKey(0), cfg)
+    names = [f"class number {i}" for i in range(8)]  # divisible by tp
+    pt = Pr.build_prompt_state(params, names, ctx_init="a photo of a")
+    mesh = make_mesh(8, tp=4)
+    pt_sharded = shard_prompt_state(mesh, pt)
+
+    tp_feats = make_tp_text_features(mesh, cfg)
+    sharded = tp_feats(params, pt.ctx0, pt_sharded.fixed_embed, pt_sharded.ctx_map, pt_sharded.eot_idx)
+
+    # unsharded reference
+    from rlcf_tpu.models.clip import encode_text_embeds, normalize
+
+    prompts = Pr.splice_prompts(pt.ctx0, pt)
+    ref = normalize(encode_text_embeds(params, cfg, prompts, pt.eot_idx).astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+    # gradient through the sharded path reaches the replicated ctx identically
+    img = jnp.asarray(np.random.default_rng(0).normal(size=(4, cfg.embed_dim)).astype(np.float32))
+    scale = jnp.exp(params["logit_scale"])
+    logits = tp_logits_fn(mesh, cfg, scale)
+
+    def loss_sharded(ctx):
+        lg = logits(params, ctx, img, pt_sharded.fixed_embed, pt_sharded.ctx_map, pt_sharded.eot_idx)
+        return jnp.sum(jax.nn.log_softmax(lg, -1)[:, 0])
+
+    def loss_ref(ctx):
+        tf = normalize(encode_text_embeds(params, cfg, Pr.splice_prompts(ctx, pt), pt.eot_idx).astype(jnp.float32))
+        lg = scale * img @ tf.T
+        return jnp.sum(jax.nn.log_softmax(lg, -1)[:, 0])
+
+    g_sharded = jax.grad(loss_sharded)(pt.ctx0)
+    g_ref = jax.grad(loss_ref)(pt.ctx0)
+    # sharded reductions reorder fp32 sums
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_ref), rtol=2e-3, atol=1e-4)
