@@ -48,6 +48,7 @@ def get_args(argv=None):
     p.add_argument("--tta_momentum", type=float, default=0.9999)
     p.add_argument("--out_results_file", default=None)
     p.add_argument("--out_clipscore_file", default=None)
+    p.add_argument("--episode_group", type=int, default=1, help="images adapted per device batch")
     return p.parse_args(argv)
 
 
@@ -155,18 +156,34 @@ def main(argv=None):
     encode_img = jax.jit(lambda p, x: clip_model.encode_image(p, clip_cfg, x))
     trace_log = CaptionTraceLogger(os.path.join(args.output, "caption_trace.txt"))
     results, per_image = [], {}
-    for image_id, img in samples:
-        emb = np.asarray(encode_img(clip_params, jnp.asarray(img)[None]))[0].astype(np.float32)
+
+    def run_group(group):
+        ids = [g[0] for g in group]
+        imgs = np.stack([g[1] for g in group])
+        embs = np.asarray(encode_img(clip_params, jnp.asarray(imgs))).astype(np.float32)
         if args.normalize_prefix:
-            emb = emb / np.linalg.norm(emb)
-        trace_log.log_id(str(image_id))
+            embs = embs / np.linalg.norm(embs, axis=-1, keepdims=True)
         trace: list = []
-        caption = tta.adapt_image(img, emb, trace=trace)
+        if len(group) == 1:
+            captions = [tta.adapt_image(imgs[0], embs[0], trace=trace)]
+        else:
+            captions = tta.adapt_batch(imgs, embs, trace=trace)
+        for image_id, caption in zip(ids, captions):
+            trace_log.log_id(str(image_id))
+            trace_log.log_final(caption)
+            results.append({"image_id": image_id, "caption": caption})
+            per_image[str(image_id)] = caption
         for step_samples in trace:
             trace_log.log_samples([t for t, _ in step_samples], [r for _, r in step_samples])
-        trace_log.log_final(caption)
-        results.append({"image_id": image_id, "caption": caption})
-        per_image[str(image_id)] = caption
+
+    buf = []
+    for item in samples:
+        buf.append(item)
+        if len(buf) == args.episode_group:
+            run_group(buf)
+            buf = []
+    if buf:
+        run_group(buf)
     trace_log.close()
 
     out_results = args.out_results_file or os.path.join(args.output, "results_caption.json")

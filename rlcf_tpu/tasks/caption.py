@@ -331,6 +331,73 @@ class CaptionTTA:
         self._reward_of = reward_of
         self._update_step = update_step
 
+        # ---- batched variants: N independent per-image mapper states ----
+        @jax.jit
+        def generate_k_batch(opt_params, mappers, clip_embs, step_rng):
+            """mappers: stacked pytree [N, ...]; clip_embs [N, E] -> [N, K, L]."""
+            prefixes = jax.vmap(lambda mp, e: prefix_tokens(mp, ccfg, e[None])[0])(mappers, clip_embs)
+            if use_nucleus:
+                return O.nucleus_generate(
+                    opt_params, ccfg.opt, prefixes, step_rng, num_captions=sample_k, max_new_tokens=max_new_tokens
+                )
+            seqs, _ = O.beam_generate(
+                opt_params, ccfg.opt, prefixes, num_beams=sample_k, max_new_tokens=max_new_tokens, num_return=sample_k
+            )
+            return seqs
+
+        @jax.jit
+        def generate_final_batch(opt_params, mappers, clip_embs):
+            prefixes = jax.vmap(lambda mp, e: prefix_tokens(mp, ccfg, e[None])[0])(mappers, clip_embs)
+            seqs, _ = O.beam_generate(
+                opt_params, ccfg.opt, prefixes, num_beams=5, max_new_tokens=max_new_tokens, num_return=1
+            )
+            return seqs[:, 0]
+
+        @jax.jit
+        def reward_of_batch(rparams, images, caption_clip_tokens):
+            """images [N, H, W, 3]; tokens [N, K, 77] -> rewards [N, K]."""
+            from ..models import clip as _clip
+            from ..core.losses import clipscore, rewards_post_process
+
+            N, K = caption_clip_tokens.shape[:2]
+            res = reward_cfg_arch.image_resolution
+            if images.shape[1] != res:
+                images = jax.image.resize(images, (N, res, res, images.shape[-1]), method="bicubic")
+            img_feats = _clip.normalize(_clip.encode_image(rparams, reward_cfg_arch, images).astype(jnp.float32))
+            txt = _clip.normalize(
+                _clip.encode_text(rparams, reward_cfg_arch, caption_clip_tokens.reshape(N * K, -1)).astype(jnp.float32)
+            ).reshape(N, K, -1)
+            sim = jnp.einsum("nke,ne->nk", txt, img_feats)
+            scores = clipscore(sim, rcfg.clipscore_weight)
+            return jax.vmap(lambda s: rewards_post_process(s.reshape(1, -1), rcfg.reward_process, rcfg.amplify))(scores)
+
+        @jax.jit
+        def update_step_batch(opt_params, mappers, opt_states, clip_embs, opt_tokens, attn_masks, rewards):
+            """Vmapped reward-weighted CE update. opt_tokens [N, K, L]."""
+
+            def one(mp, st, emb, toks, mask, rw):
+                K = toks.shape[0]
+                rep = jnp.repeat(emb[None], K, axis=0)
+
+                def loss_fn(m):
+                    logits = O.forward(
+                        opt_params, ccfg.opt, tokens=toks,
+                        prefix_embeds=prefix_tokens(m, ccfg, rep), attention_mask=mask,
+                    )
+                    per_caption = caption_ce(logits, toks, ccfg.prefix_length, per_sample=True)
+                    return jnp.mean(rw * per_caption)
+
+                loss, grads = jax.value_and_grad(loss_fn)(mp)
+                upd, st = self.opt.update(grads, st, mp)
+                return optax.apply_updates(mp, upd), st, loss
+
+            return jax.vmap(one)(mappers, opt_states, clip_embs, opt_tokens, attn_masks, rewards)
+
+        self._generate_k_batch = generate_k_batch
+        self._generate_final_batch = generate_final_batch
+        self._reward_of_batch = reward_of_batch
+        self._update_step_batch = update_step_batch
+
     def _decode_and_retokenize(self, seqs_np):
         """OPT ids [K, L] -> texts + (opt tokens+mask padded, clip tokens)."""
         texts = self.tok.batch_decode(seqs_np, stop_id=self.ccfg.opt.eos_newline_id)
@@ -365,6 +432,49 @@ class CaptionTTA:
         if self.momentum_update:
             self.momentum_state = self._Po.momentum_update(self.momentum_state, mapper, **self.momentum_cfg)
         return caption
+
+    def adapt_batch(self, images, clip_embs, trace: Optional[list] = None) -> List[str]:
+        """TTA for a group of images at once (vmapped per-image mapper states).
+
+        images [N, H, W, 3]; clip_embs [N, E] -> N final captions. Same math
+        as adapt_image, batched for device utilization (the reference loops
+        bs=1, `capdec_tta.py:84`).
+        """
+        N = clip_embs.shape[0]
+        start = self.momentum_state.reset_params if self.momentum_update else self.params["mapper"]
+        mappers = jax.tree_util.tree_map(lambda a: jnp.broadcast_to(a[None], (N,) + a.shape), start)
+        opt_states = jax.vmap(self.opt.init)(mappers)
+        clip_embs = jnp.asarray(clip_embs)
+        images = jnp.asarray(images)
+        P = self.ccfg.prefix_length
+        opt_params = self.params["opt"]
+        rparams = self.reward.params
+        step_rng = jax.random.PRNGKey(self._sample_counter)
+        self._sample_counter += 1
+        for step in range(self.tta_steps):
+            seqs = self._generate_k_batch(opt_params, mappers, clip_embs, jax.random.fold_in(step_rng, step))
+            flat = np.asarray(seqs).reshape(N * self.sample_k, -1)
+            texts, opt_tokens, opt_mask, clip_tokens = self._decode_and_retokenize(flat)
+            rewards = self._reward_of_batch(
+                rparams, images, jnp.asarray(clip_tokens).reshape(N, self.sample_k, -1)
+            )
+            if trace is not None:
+                trace.append(list(zip(texts, np.asarray(rewards).reshape(-1).tolist())))
+            K, L = self.sample_k, opt_tokens.shape[1]
+            attn = np.concatenate([np.ones((N * K, P), np.int32), opt_mask], axis=1)
+            mappers, opt_states, _ = self._update_step_batch(
+                opt_params, mappers, opt_states, clip_embs,
+                jnp.asarray(opt_tokens).reshape(N, K, L),
+                jnp.asarray(attn).reshape(N, K, -1),
+                rewards,
+            )
+        final = self._generate_final_batch(opt_params, mappers, clip_embs)
+        captions = [t.lower() for t in self.tok.batch_decode(np.asarray(final), stop_id=self.ccfg.opt.eos_newline_id)]
+        if self.momentum_update:
+            for i in range(N):
+                adapted_i = jax.tree_util.tree_map(lambda a: a[i], mappers)
+                self.momentum_state = self._Po.momentum_update(self.momentum_state, adapted_i, **self.momentum_cfg)
+        return captions
 
     def predict_only(self, clip_emb) -> List[str]:
         """No-TTA beam-5 predictions (`caption/predictions.py:21-70`)."""

@@ -229,3 +229,19 @@ def test_caption_ce_matches_torch_reference_formula(tiny_caption):
     per_caption = Cap.caption_ce(jnp.asarray(logits), jnp.asarray(tokens.astype(np.int32)), P, per_sample=True)
     mine = float(jnp.mean(jnp.asarray(rewards) * per_caption))
     assert abs(mine - ref) < 1e-5
+
+
+def test_caption_tta_batched_matches_single(tiny_caption, tiny_gpt2_tok):
+    """adapt_batch == adapt_image per element (beam path is deterministic)."""
+    params, ccfg = tiny_caption
+    rcfg = C.ClipConfig("tiny-reward", 16, 32, 1, 32, 16, 32, 1, vision_heads_override=2, text_heads_override=2)
+    reward = ClipReward(C.init_clip_params(jax.random.PRNGKey(1), rcfg), rcfg, RewardConfig(sample_k=3))
+    tta = Cap.CaptionTTA(
+        params, ccfg, reward, tiny_gpt2_tok, tta_steps=2, lr=1e-3, sample_k=3, max_new_tokens=6, token_pad_len=10
+    )
+    r = np.random.default_rng(0)
+    images = r.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    embs = r.normal(size=(2, 16)).astype(np.float32)
+    singles = [tta.adapt_image(images[i], embs[i]) for i in range(2)]
+    batched = tta.adapt_batch(images, embs)
+    assert batched == singles
