@@ -74,10 +74,11 @@ class ClipReward:
     def image_features(self, images):
         """Normalized image features; resizes if the reward tower expects a
         different resolution (`TPT/clip_reward.py:130-137`)."""
+        from ..ops.image_ops import resize_bicubic_align_corners
+
         res = self.cfg.image_resolution
         if images.shape[1] != res:
-            B = images.shape[0]
-            images = jax.image.resize(images, (B, res, res, images.shape[-1]), method="bicubic")
+            images = resize_bicubic_align_corners(images, res)
         feats = clip_model.encode_image(self.params, self.cfg, images).astype(jnp.float32)
         return clip_model.normalize(feats)
 

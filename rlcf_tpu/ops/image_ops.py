@@ -208,6 +208,48 @@ def hflip(img):
     return img[:, ::-1, :]
 
 
+def _torch_cubic_weight(x, a: float = -0.75):
+    """PyTorch's bicubic kernel (a=-0.75; PIL/jax use -0.5)."""
+    ax = jnp.abs(x)
+    w1 = ((a + 2.0) * ax - (a + 3.0)) * ax * ax + 1.0
+    w2 = (((ax - 5.0) * ax + 8.0) * ax - 4.0) * a
+    return jnp.where(ax < 1.0, w1, jnp.where(ax < 2.0, w2, 0.0))
+
+
+def _align_corners_cubic_matrix(src: int, dst: int, dtype):
+    """[dst, src] torch-style bicubic interpolation matrix, align_corners.
+
+    torch evaluates the 4 tap weights from the fractional offset and reads
+    border-clamped pixels (replicate); built here by accumulating each tap's
+    weight onto its clamped source index.
+    """
+    k = (src - 1) / max(dst - 1, 1)
+    centers = jnp.arange(dst, dtype=dtype) * k  # input coords
+    base = jnp.floor(centers)
+    frac = centers - base
+    src_idx = jnp.arange(src, dtype=jnp.int32)
+    W = jnp.zeros((dst, src), dtype)
+    for t in range(-1, 3):
+        w_t = _torch_cubic_weight(frac - t)  # [dst]
+        tap = jnp.clip(base.astype(jnp.int32) + t, 0, src - 1)  # [dst]
+        W = W + w_t[:, None] * (tap[:, None] == src_idx[None, :]).astype(dtype)
+    return W
+
+
+def resize_bicubic_align_corners(images, out_size: int):
+    """Batched NHWC bicubic resize matching
+    ``torch.nn.functional.interpolate(mode='bicubic', align_corners=True)``
+    used for reward-tower input resizing (`TPT/clip_reward.py:130-137`):
+    corner-aligned sampling with the a=-0.75 cubic kernel, no antialiasing.
+    Expressed as two interpolation-matrix einsums (MXU work).
+    """
+    B, H, W, C = images.shape
+    wy = _align_corners_cubic_matrix(H, out_size, images.dtype)
+    wx = _align_corners_cubic_matrix(W, out_size, images.dtype)
+    tmp = jnp.einsum("oh,bhwc->bowc", wy, images, preferred_element_type=jnp.float32)
+    return jnp.einsum("pw,bowc->bopc", wx, tmp, preferred_element_type=jnp.float32).astype(images.dtype)
+
+
 def _resize_weights(src_size: int, out_size: int, start, length, dtype):
     """Antialiased bilinear (triangle-kernel) interpolation matrix [out, src].
 

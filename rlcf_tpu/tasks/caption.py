@@ -295,10 +295,12 @@ class CaptionTTA:
             from ..models import clip as _clip
             from ..core.losses import clipscore, rewards_post_process
 
+            from ..ops.image_ops import resize_bicubic_align_corners
+
             res = reward_cfg_arch.image_resolution
             img = image[None]
             if img.shape[1] != res:
-                img = jax.image.resize(img, (1, res, res, img.shape[-1]), method="bicubic")
+                img = resize_bicubic_align_corners(img, res)
             img_feat = _clip.normalize(_clip.encode_image(rparams, reward_cfg_arch, img).astype(jnp.float32))
             txt_feats = _clip.normalize(
                 _clip.encode_text(rparams, reward_cfg_arch, caption_clip_tokens).astype(jnp.float32)
@@ -359,10 +361,12 @@ class CaptionTTA:
             from ..models import clip as _clip
             from ..core.losses import clipscore, rewards_post_process
 
+            from ..ops.image_ops import resize_bicubic_align_corners
+
             N, K = caption_clip_tokens.shape[:2]
             res = reward_cfg_arch.image_resolution
             if images.shape[1] != res:
-                images = jax.image.resize(images, (N, res, res, images.shape[-1]), method="bicubic")
+                images = resize_bicubic_align_corners(images, res)
             img_feats = _clip.normalize(_clip.encode_image(rparams, reward_cfg_arch, images).astype(jnp.float32))
             txt = _clip.normalize(
                 _clip.encode_text(rparams, reward_cfg_arch, caption_clip_tokens.reshape(N * K, -1)).astype(jnp.float32)

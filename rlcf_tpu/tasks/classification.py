@@ -59,9 +59,11 @@ def classify_logits(params, cfg, images, class_features):
 
 
 def resize_bicubic_batch(images, resolution: int):
-    """Per-model input resizing for ensembles (`custom_clip.py:541-543`)."""
-    B = images.shape[0]
-    return jax.image.resize(images, (B, resolution, resolution, images.shape[-1]), method="bicubic")
+    """Per-model input resizing for ensembles (`custom_clip.py:541-543`):
+    torch-exact align_corners bicubic."""
+    from ..ops.image_ops import resize_bicubic_align_corners
+
+    return resize_bicubic_align_corners(images, resolution)
 
 
 def zero_shot_eval(
@@ -208,9 +210,11 @@ class PromptTTAClassifier:
             reward_feats_arg = reward_model.class_features
 
         def _reward_encode(rparams_, rcfg_, views, r_class_feats):
+            from ..ops.image_ops import resize_bicubic_align_corners
+
             res = rcfg_.image_resolution
             if views.shape[1] != res:
-                views = jax.image.resize(views, (views.shape[0], res, res, views.shape[-1]), method="bicubic")
+                views = resize_bicubic_align_corners(views, res)
             feats = clip_model.normalize(clip_model.encode_image(rparams_, rcfg_, views).astype(jnp.float32))
             return jnp.dot(feats, r_class_feats.T, preferred_element_type=jnp.float32)
 
@@ -363,11 +367,11 @@ class EncoderTTAClassifier:
 
         def full_episode(cparams, rparams, class_feats, r_class_feats, frozen_visual, trainable0, views):
             def reward_image_sim(views_sel):
+                from ..ops.image_ops import resize_bicubic_align_corners
+
                 res = reward_model.cfg.image_resolution
                 if views_sel.shape[1] != res:
-                    views_sel = jax.image.resize(
-                        views_sel, (views_sel.shape[0], res, res, views_sel.shape[-1]), method="bicubic"
-                    )
+                    views_sel = resize_bicubic_align_corners(views_sel, res)
                 feats = clip_model.normalize(
                     clip_model.encode_image(rparams, reward_model.cfg, views_sel).astype(jnp.float32)
                 )

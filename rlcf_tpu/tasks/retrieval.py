@@ -182,11 +182,11 @@ class RetrievalTTA:
                     return scale * jnp.dot(feats, gallery.T, preferred_element_type=jnp.float32)
 
                 def reward_sim(views_sel):
+                    from ..ops.image_ops import resize_bicubic_align_corners
+
                     res = rcfg_arch.image_resolution
                     if views_sel.shape[1] != res:
-                        views_sel = jax.image.resize(
-                            views_sel, (views_sel.shape[0], res, res, views_sel.shape[-1]), method="bicubic"
-                        )
+                        views_sel = resize_bicubic_align_corners(views_sel, res)
                     feats = clip_model.normalize(
                         clip_model.encode_image(rparams, rcfg_arch, views_sel).astype(jnp.float32)
                     )

@@ -167,3 +167,20 @@ def test_augmix_views_statistics():
     diffs = [np.abs(views[i] - base).mean() for i in range(1, 16)]
     assert min(diffs) > 0.01  # every view is actually augmented
     assert np.std(diffs) > 0.005  # and they differ from each other
+
+
+def test_resize_align_corners_matches_torch():
+    """Reward-path resize == torch interpolate(bicubic, align_corners=True)."""
+    import torch
+
+    x = np.random.default_rng(5).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    for size in (48, 24):
+        ref = (
+            torch.nn.functional.interpolate(
+                torch.from_numpy(x.transpose(0, 3, 1, 2)), size=size, mode="bicubic", align_corners=True
+            )
+            .numpy()
+            .transpose(0, 2, 3, 1)
+        )
+        mine = np.asarray(ops.resize_bicubic_align_corners(jnp.asarray(x), size))
+        np.testing.assert_allclose(mine, ref, atol=1e-4)
