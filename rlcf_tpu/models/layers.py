@@ -38,11 +38,25 @@ def linear(x, w, b=None):
     return y
 
 
+# Global switch for the attention implementation: "dense" (default) or
+# "flash" (jax's official Pallas flash-attention kernel; TPU only, pays off
+# at longer sequences / larger batches than CLIP's 77-257 tokens — exposed
+# for bigger towers and future workloads).
+ATTN_IMPL = "dense"
+
+
+def _flash_attention(q, k, v, causal: bool, scale: float):
+    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+    return flash_attention(q, k, v, causal=causal, sm_scale=scale)
+
+
 def multi_head_attention(x, qkv_w, qkv_b, out_w, out_b, n_heads: int, mask=None):
     """Self-attention over [B, T, D] with fused QKV projection.
 
     ``mask`` is an additive [T, T] bias (0 / -inf) matching the causal mask the
-    reference text transformer builds (`TPT/clip/model.py:328-334`).
+    reference text transformer builds (`TPT/clip/model.py:328-334`); the flash
+    path maps it to its native causal flag.
     """
     B, T, D = x.shape
     head_dim = D // n_heads
@@ -54,11 +68,15 @@ def multi_head_attention(x, qkv_w, qkv_b, out_w, out_b, n_heads: int, mask=None)
 
     q, k, v = split_heads(q), split_heads(k), split_heads(v)
     scale = 1.0 / np.sqrt(head_dim)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
-    if mask is not None:
-        logits = logits + mask.astype(logits.dtype)
-    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32).astype(x.dtype)
+    # flash kernel requires 128-multiple sequence lengths; fall back otherwise
+    if ATTN_IMPL == "flash" and T % 128 == 0:
+        out = _flash_attention(q, k, v, causal=mask is not None, scale=scale).astype(x.dtype)
+    else:
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            logits = logits + mask.astype(logits.dtype)
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32).astype(x.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
     return linear(out, out_w, out_b)
 
