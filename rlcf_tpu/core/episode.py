@@ -117,7 +117,7 @@ def make_tta_episode(
         f = lambda t: policy_logits(t, cache, all_idx)
         logits_all, f_vjp = jax.vjp(f, trainable0)
         ent = Lo.entropy_per_sample(logits_all)
-        sel = jax.lax.top_k(-ent, n_keep)[1]  # lowest-entropy view indices [S]
+        sel = Lo.select_confident_entropy(ent, n_keep)  # lowest-entropy view indices [S]
 
         reward_sim = reward_image_sim(views[sel])  # [S, C] frozen
 

@@ -24,16 +24,24 @@ def entropy_per_sample(logits):
     return -jnp.sum(jnp.exp(logp) * logp, axis=-1)
 
 
-def select_confident(logits, selection_p: float):
-    """Indices of the ``ceil(B * selection_p)`` lowest-entropy rows.
+def select_confident_entropy(ent, n_keep: int):
+    """Indices of the ``n_keep`` lowest entropies along the last axis.
 
-    Static output shape; ties broken by ascending index (argsort is stable).
+    Single implementation shared by episode/classification selection; ties
+    broken by ascending index (top_k is stable on equal keys).
+    """
+    return jax.lax.top_k(-ent, n_keep)[1]
+
+
+def select_confident(logits, selection_p: float):
+    """Indices of the ``floor(B * selection_p)`` lowest-entropy rows (min 1).
+
+    Floor matches the reference's ``int(batch_entropy.size()[0] * top)``
+    (`TPT/tpt_cls_rl.py:32-35`). Static output shape.
     """
     batch = logits.shape[0]
     n_keep = max(1, int(batch * selection_p))
-    ent = entropy_per_sample(logits)
-    order = jnp.argsort(ent)
-    return order[:n_keep]
+    return select_confident_entropy(entropy_per_sample(logits), n_keep)
 
 
 def avg_entropy(logits):

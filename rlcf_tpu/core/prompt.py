@@ -101,7 +101,15 @@ def build_prompt_state(
         if ctx0 is None:
             rng = rng or np.random.default_rng(0)
             ctx0 = jnp.asarray(rng.normal(0.0, 0.02, size=(n_ctx, ctx_dim)).astype(np.float32))
+        else:
+            n_ctx = ctx0.shape[0]  # provided weights define the slot count
         prompt_prefix = " ".join(["X"] * n_ctx)
+
+    if learned_cls and ctx_position != "end":
+        # The reference only wires the learnable class token into the "end"
+        # layout (`custom_clip.py:239-260`); other positions would silently
+        # drop it, so reject instead.
+        raise ValueError("learned_cls requires ctx_position='end'")
 
     classnames = [name.replace("_", " ") for name in classnames]
     if learned_cls:

@@ -39,6 +39,22 @@ class RewardConfig:
     default_resolution: int = 224
 
 
+def reward_image_features(params, cfg: clip_model.ClipConfig, images):
+    """Pure reward image-feature function (params as an argument, jit-safe).
+
+    Resizes if the reward tower expects a different resolution
+    (`TPT/clip_reward.py:130-137`). Keep params an ARGUMENT when jitting —
+    closure capture bakes the weights into the executable.
+    """
+    from ..ops.image_ops import resize_bicubic_align_corners
+
+    res = cfg.image_resolution
+    if images.shape[1] != res:
+        images = resize_bicubic_align_corners(images, res)
+    feats = clip_model.encode_image(params, cfg, images).astype(jnp.float32)
+    return clip_model.normalize(feats)
+
+
 class ClipReward:
     """Single frozen CLIP reward model.
 
@@ -72,15 +88,8 @@ class ClipReward:
     # -- pure, jit-safe ---------------------------------------------------
 
     def image_features(self, images):
-        """Normalized image features; resizes if the reward tower expects a
-        different resolution (`TPT/clip_reward.py:130-137`)."""
-        from ..ops.image_ops import resize_bicubic_align_corners
-
-        res = self.cfg.image_resolution
-        if images.shape[1] != res:
-            images = resize_bicubic_align_corners(images, res)
-        feats = clip_model.encode_image(self.params, self.cfg, images).astype(jnp.float32)
-        return clip_model.normalize(feats)
+        """Normalized image features (see ``reward_image_features``)."""
+        return reward_image_features(self.params, self.cfg, images)
 
     def text_features(self, tokens):
         feats = clip_model.encode_text(self.params, self.cfg, tokens).astype(jnp.float32)

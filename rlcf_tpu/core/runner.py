@@ -63,10 +63,12 @@ def build_lr_schedule(cfg: RunnerConfig) -> Callable:
 
 
 def build_optimizer(cfg: RunnerConfig, params) -> optax.GradientTransformation:
+    """Decoupled AdamW (torch semantics): decay is added AFTER Adam's moment
+    normalization, like torch.optim.AdamW / optax.adamw."""
     sched = build_lr_schedule(cfg)
     return optax.chain(
-        optax.masked(optax.add_decayed_weights(cfg.weight_decay), decay_mask(params)),
         optax.scale_by_adam(),
+        optax.masked(optax.add_decayed_weights(cfg.weight_decay), decay_mask(params)),
         optax.scale_by_schedule(lambda s: -sched(s)),
     )
 

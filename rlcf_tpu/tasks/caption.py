@@ -124,7 +124,9 @@ def make_caption_trainer(ccfg: CaptionModelConfig, tcfg: TrainConfig):
         )
         return tcfg.lr * jnp.where(step < tcfg.warmup_steps, warm, decay)
 
-    opt = optax.adamw(lr_fn, weight_decay=0.0)
+    # reference: torch.optim.AdamW(..., eps=1e-06, weight_decay=0.0)
+    # (`caption/train.py:96`)
+    opt = optax.adamw(lr_fn, eps=1e-6, weight_decay=0.0)
 
     def train_step(mapper_params, opt_params, opt_state, rng, prefix, tokens, mask):
         if tcfg.cap_model == "CapDec":
@@ -236,7 +238,7 @@ class CaptionTTA:
         update_freq: int = 256,
         update_w: float = 1.0,
         momentum: float = 0.9999,
-        token_pad_len: int = 32,
+        token_pad_len: Optional[int] = None,
     ):
         from ..core import policy as Po
 
@@ -248,8 +250,11 @@ class CaptionTTA:
         self.sample_k = sample_k
         self.max_new_tokens = max_new_tokens
         self.use_nucleus = use_nucleus
-        self.token_pad_len = token_pad_len
-        self.opt = optax.adamw(lr, weight_decay=weight_decay)
+        # re-tokenized captions must never truncate below what generation can
+        # emit (+BOS, + tokenization slack): the reference pads to longest.
+        self.token_pad_len = token_pad_len or (max_new_tokens + 4)
+        # reference uses AdamW eps=1e-6 (`capdec_tta.py:189`)
+        self.opt = optax.adamw(lr, eps=1e-6, weight_decay=weight_decay)
         self.momentum_update = momentum_update
         self.momentum_cfg = dict(momentum=momentum, update_freq=update_freq, update_w=update_w)
         self.momentum_state = Po.MomentumState.create(params["mapper"]) if momentum_update else None

@@ -200,6 +200,12 @@ class PromptTTAClassifier:
         opt = make_optimizer(ecfg)
 
         is_ensemble = not hasattr(reward_model, "params")
+        if is_ensemble and ecfg.loss not in ("rlcf", "tpt"):
+            raise ValueError(
+                f"loss '{ecfg.loss}' needs single-teacher logits; reward ensembles "
+                "only support the 'rlcf'/'tpt' losses (the reference KD paths use "
+                "one reward CLIP, `TPT/tpt_cls_rl.py:201-219`)"
+            )
         if is_ensemble:
             member_cfgs = [m.cfg for m in reward_model.members]
             reward_params_arg = tuple(m.params for m in reward_model.members)
@@ -232,7 +238,7 @@ class PromptTTAClassifier:
             img_feats = clip_model.normalize(img.astype(jnp.float32)).reshape(N, B, -1)
             logits0 = scale * jnp.einsum("nbe,ce->nbc", img_feats, tf0_, preferred_element_type=jnp.float32)
             ent = Lo.entropy_per_sample(logits0)
-            sel = jax.lax.top_k(-ent, n_keep)[1]  # [N, S]
+            sel = Lo.select_confident_entropy(ent, n_keep)  # [N, S]
             sel_views = jnp.take_along_axis(
                 views_batch, sel[:, :, None, None, None], axis=1
             ).reshape((N * n_keep,) + views_batch.shape[2:])
@@ -315,6 +321,12 @@ class EncoderTTAClassifier:
     ):
         from ..core import policy as Po
 
+        if not hasattr(reward, "params"):
+            raise ValueError(
+                "EncoderTTAClassifier requires a single ClipReward; reward "
+                "ensembles are only supported by PromptTTAClassifier (matching "
+                "the reference encoder path, `TPT/tune_cls_rl.py`)"
+            )
         self.clip_params = clip_params
         self.clip_cfg = clip_cfg
         self.reward = reward
@@ -394,7 +406,10 @@ class EncoderTTAClassifier:
         """views_batch: [N, B, H, W, 3] -> (final_logits [N, C], aux).
 
         With momentum_update, adapted weights of each episode in the batch are
-        EMA-folded in order (`tune_cls_rl.py:240`).
+        EMA-folded in order (`tune_cls_rl.py:240`). Note: all N episodes in
+        one call start from the same anchor, so when ``update_freq`` falls
+        inside a group the re-anchor takes effect one group late vs the
+        strictly sequential reference — pass N=1 batches for exact parity.
         """
         Po = self._Po
         start = self.momentum_state.reset_params if self.momentum_update else self.trainable0

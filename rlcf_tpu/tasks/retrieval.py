@@ -31,6 +31,7 @@ import numpy as np
 
 from ..core import policy as Po
 from ..core.episode import EpisodeConfig, make_tta_episode
+from ..core.reward import ClipRewardEnsemble, reward_image_features
 from ..models import clip as clip_model
 from ..tokenizer import tokenize
 
@@ -123,6 +124,11 @@ class RetrievalTTA:
         momentum: float = 0.9999,
     ):
         assert direction in ("i2t", "t2i")
+        if isinstance(reward, ClipRewardEnsemble):
+            raise ValueError(
+                "RetrievalTTA requires a single ClipReward (the reference "
+                "retrieval path uses one reward CLIP, `retrieval/clip_rewards.py`)"
+            )
         self.clip_params = clip_params
         self.clip_cfg = clip_cfg
         self.reward = reward
@@ -153,9 +159,12 @@ class RetrievalTTA:
         """t2i: cache policy + reward image features for all gallery images."""
         self.gallery_feats = encode_image_gallery(self.clip_params, self.clip_cfg, images_iter_policy)
         rfeats = []
-        encode = jax.jit(self.reward.image_features)
+        # params passed as a jit argument (closure capture would bake the
+        # frozen tower into the executable)
+        rcfg = self.reward.cfg  # static config only; weights stay arguments
+        encode = jax.jit(lambda p, imgs: reward_image_features(p, rcfg, imgs))
         for batch in images_iter_reward:
-            rfeats.append(encode(jnp.asarray(batch)))
+            rfeats.append(encode(self.reward.params, jnp.asarray(batch)))
         self.reward_gallery_feats = jnp.concatenate(rfeats, axis=0)
         self.reward.class_features = self.reward_gallery_feats
         self._build_episode()
