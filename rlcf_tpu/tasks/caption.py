@@ -38,21 +38,47 @@ from ..tokenizer import tokenize as clip_tokenize
 
 @dataclasses.dataclass(frozen=True)
 class CaptionModelConfig:
+    """Mapper ⊕ frozen LLM; ``llm`` selects the backend like the reference's
+    ``LLMModel(config_dir)`` dispatch (`modules.py:188-209`): "opt" (default,
+    the RLCF TTA path) or "gpt2" (the legacy ClipCap path)."""
+
     mapper: M.MapperConfig
-    opt: O.OPTConfig
+    opt: Optional[O.OPTConfig] = None
     normalize_prefix: bool = False
+    llm: str = "opt"
+    gpt2: Optional[object] = None  # models.gpt2.GPT2Config when llm == "gpt2"
 
     @property
     def prefix_length(self) -> int:
         return self.mapper.prefix_length
 
+    @property
+    def llm_key(self) -> str:
+        """Param-tree key of the LLM ("opt" or "gpt2")."""
+        return "gpt2" if self.llm == "gpt2" else "opt"
+
+
+def llm_forward(llm_params, ccfg: CaptionModelConfig, tokens=None, prefix_embeds=None, attention_mask=None):
+    """Dispatch the frozen-LLM forward to the configured backend."""
+    if ccfg.llm == "gpt2":
+        from ..models import gpt2 as G
+
+        return G.forward(llm_params, ccfg.gpt2, tokens=tokens, prefix_embeds=prefix_embeds,
+                         attention_mask=attention_mask)
+    return O.forward(llm_params, ccfg.opt, tokens=tokens, prefix_embeds=prefix_embeds,
+                     attention_mask=attention_mask)
+
 
 def init_caption_params(rng, ccfg: CaptionModelConfig, dtype=jnp.float32):
     k1, k2 = jax.random.split(rng)
-    return {
-        "mapper": M.init_mapper_params(k1, ccfg.mapper, dtype),
-        "opt": O.init_opt_params(k2, ccfg.opt, dtype),
-    }
+    out = {"mapper": M.init_mapper_params(k1, ccfg.mapper, dtype)}
+    if ccfg.llm == "gpt2":
+        from ..models import gpt2 as G
+
+        out["gpt2"] = G.init_gpt2_params(k2, ccfg.gpt2, dtype)
+    else:
+        out["opt"] = O.init_opt_params(k2, ccfg.opt, dtype)
+    return out
 
 
 def prefix_tokens(mapper_params, ccfg: CaptionModelConfig, clip_emb):
@@ -63,7 +89,8 @@ def prefix_tokens(mapper_params, ccfg: CaptionModelConfig, clip_emb):
 def caption_forward(params, ccfg: CaptionModelConfig, clip_emb, tokens, attention_mask=None):
     """Teacher-forcing logits [B, P+T, V] (`modules.py:239-252`)."""
     prefix = prefix_tokens(params["mapper"], ccfg, clip_emb)
-    return O.forward(params["opt"], ccfg.opt, tokens=tokens, prefix_embeds=prefix, attention_mask=attention_mask)
+    return llm_forward(params[ccfg.llm_key], ccfg, tokens=tokens, prefix_embeds=prefix,
+                       attention_mask=attention_mask)
 
 
 def caption_ce(logits, tokens, prefix_length: int, ignore_id: int = 0, per_sample: bool = False):
@@ -135,9 +162,9 @@ def make_caption_trainer(ccfg: CaptionModelConfig, tcfg: TrainConfig):
             prefix = clip_model.normalize(prefix)
 
         def loss_fn(mp):
-            logits = O.forward(
+            logits = llm_forward(
                 opt_params,
-                ccfg.opt,
+                ccfg,
                 tokens=tokens,
                 prefix_embeds=prefix_tokens(mp, ccfg, prefix),
                 attention_mask=mask,
@@ -179,7 +206,7 @@ def train_caption_model(
         for prefix, tokens, mask in dataset_iter_fn():
             rng, sub = jax.random.split(rng)
             mapper, opt_state, loss = train_step(
-                mapper, params["opt"], opt_state, sub, jnp.asarray(prefix), jnp.asarray(tokens), jnp.asarray(mask)
+                mapper, params[ccfg.llm_key], opt_state, sub, jnp.asarray(prefix), jnp.asarray(tokens), jnp.asarray(mask)
             )
             total += float(loss)
             count += 1
@@ -242,6 +269,12 @@ class CaptionTTA:
     ):
         from ..core import policy as Po
 
+        if ccfg.llm != "opt":
+            raise ValueError(
+                "CaptionTTA requires the OPT backend (the reference TTA path "
+                "generates through opt_generate, `capdec_tta.py:98-100`); use "
+                "clipcap_predict for GPT-2 no-TTA captioning"
+            )
         self.params = params
         self.ccfg = ccfg
         self.reward = reward
@@ -489,6 +522,58 @@ class CaptionTTA:
         """No-TTA beam-5 predictions (`caption/predictions.py:21-70`)."""
         final = self._generate_final(self.params["opt"], self.params["mapper"], jnp.asarray(clip_emb))
         return [t.lower() for t in self.tok.batch_decode(np.asarray(final), stop_id=self.ccfg.opt.eos_newline_id)]
+
+
+# ---------------------------------------------------------------------------
+# Legacy ClipCap predictor (GPT-2 backend, `caption/image_llm/generate.py`)
+# ---------------------------------------------------------------------------
+
+
+def clipcap_predict(
+    params,
+    ccfg: CaptionModelConfig,
+    clip_embs,
+    gpt2_tokenizer,
+    use_beam: bool = True,
+    beam_size: int = 5,
+    entry_length: int = 67,
+    temperature: float = 1.0,
+    stop_token: str = ".",
+) -> List[str]:
+    """No-TTA ClipCap captioning through the GPT-2 backend.
+
+    Mirrors the legacy path of `caption/predictions.py:21-70`: CLIP embedding
+    -> mapper prefix -> ``generate_beam`` (best beam) or ``generate2`` greedy.
+    ``clip_embs``: [N, E]. Returns N caption strings.
+    """
+    from ..models import gpt2 as G
+
+    if ccfg.llm != "gpt2":
+        raise ValueError("clipcap_predict requires a CaptionModelConfig with llm='gpt2'")
+    # raw token id (HF GPT-2 tokenizers prepend no BOS, unlike OPT's </s>)
+    stop_id = gpt2_tokenizer.encode(stop_token, add_bos=False)[0]
+    gen_beam = jax.jit(
+        functools.partial(G.clipcap_beam_generate, cfg=ccfg.gpt2, stop_token=stop_id,
+                          beam_size=beam_size, entry_length=entry_length, temperature=temperature),
+        static_argnames=(),
+    )
+    gen_greedy = jax.jit(
+        functools.partial(G.clipcap_top_p_generate, cfg=ccfg.gpt2, stop_token=stop_id,
+                          entry_length=entry_length, temperature=temperature)
+    )
+    prefix_fn = jax.jit(functools.partial(prefix_tokens, ccfg=ccfg))
+    prefixes = prefix_fn(params["mapper"], clip_emb=jnp.asarray(clip_embs))
+    out = []
+    for n in range(prefixes.shape[0]):
+        if use_beam:
+            tokens, lengths, order = gen_beam(params["gpt2"], prefix_embeds=prefixes[n])
+            best = int(np.asarray(order)[0])
+            ids = np.asarray(tokens)[best][: int(np.asarray(lengths)[best])]
+        else:
+            tokens, length = gen_greedy(params["gpt2"], prefix_embeds=prefixes[n])
+            ids = np.asarray(tokens)[: int(length)]
+        out.append(gpt2_tokenizer.decode(list(ids)))
+    return out
 
 
 # ---------------------------------------------------------------------------

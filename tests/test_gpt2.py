@@ -1,0 +1,210 @@
+"""GPT-2 backend vs HF transformers oracle (the legacy ClipCap LLM).
+
+A tiny random-init ``GPT2LMHeadModel`` (no downloads) is converted with
+``convert_gpt2_state_dict``; forward logits, prefix-embeds handling, KV-cache
+decoding, and the ClipCap generation loops are compared against the torch
+model / a faithful torch replica of ``caption/image_llm/generate.py``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from rlcf_tpu.models import gpt2 as G
+
+CFG = G.GPT2_CONFIGS["test-tiny-gpt2"]
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    from transformers import GPT2Config as HFConfig, GPT2LMHeadModel
+
+    torch.manual_seed(0)
+    hf_cfg = HFConfig(
+        vocab_size=CFG.vocab_size, n_positions=CFG.n_positions, n_embd=CFG.n_embd,
+        n_layer=CFG.n_layer, n_head=CFG.n_head,
+    )
+    model = GPT2LMHeadModel(hf_cfg).eval()
+    params, cfg = G.convert_gpt2_state_dict(model.state_dict(), n_head=CFG.n_head)
+    assert (cfg.n_layer, cfg.n_embd, cfg.n_head) == (CFG.n_layer, CFG.n_embd, CFG.n_head)
+    return model, params, cfg
+
+
+def test_forward_matches_hf_tokens(hf_pair):
+    model, params, cfg = hf_pair
+    tokens = np.random.default_rng(0).integers(0, cfg.vocab_size, size=(2, 7)).astype(np.int64)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(tokens)).logits.numpy()
+    mine = np.asarray(G.forward(params, cfg, tokens=jnp.asarray(tokens.astype(np.int32))))
+    np.testing.assert_allclose(mine, ref, atol=2e-4)
+
+
+def test_forward_matches_hf_prefix_embeds(hf_pair):
+    model, params, cfg = hf_pair
+    rng = np.random.default_rng(1)
+    prefix = rng.normal(size=(2, 3, cfg.n_embd)).astype(np.float32)
+    tokens = rng.integers(1, cfg.vocab_size, size=(2, 4)).astype(np.int64)
+    with torch.no_grad():
+        tok_emb = model.get_input_embeddings()(torch.from_numpy(tokens))
+        embeds = torch.cat([torch.from_numpy(prefix), tok_emb], dim=1)
+        ref = model(inputs_embeds=embeds).logits.numpy()
+    mine = np.asarray(
+        G.forward(params, cfg, tokens=jnp.asarray(tokens.astype(np.int32)), prefix_embeds=jnp.asarray(prefix))
+    )
+    np.testing.assert_allclose(mine, ref, atol=2e-4)
+
+
+def test_forward_attention_mask(hf_pair):
+    model, params, cfg = hf_pair
+    tokens = np.array([[5, 9, 3, 0, 0]], np.int64)
+    mask = np.array([[1, 1, 1, 0, 0]], np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(tokens), attention_mask=torch.from_numpy(mask)).logits.numpy()
+    mine = np.asarray(
+        G.forward(params, cfg, tokens=jnp.asarray(tokens.astype(np.int32)), attention_mask=jnp.asarray(mask))
+    )
+    # compare only unmasked positions (HF's positions also differ past the mask)
+    np.testing.assert_allclose(mine[:, :3], ref[:, :3], atol=2e-4)
+
+
+def test_kv_cache_decode_matches_full_forward(hf_pair):
+    _, params, cfg = hf_pair
+    rng = np.random.default_rng(2)
+    prefix = jnp.asarray(rng.normal(size=(1, 3, cfg.n_embd)).astype(np.float32))
+    toks = rng.integers(1, cfg.vocab_size, size=(1, 4)).astype(np.int32)
+
+    logits, cache = G._prefill(params, cfg, prefix, max_len=3 + 4)
+    step_logits = [logits]
+    for i in range(4):
+        emb = params["wte"][jnp.asarray(toks[:, i])][:, None, :]
+        logits, cache = G._decode_step(params, cfg, cache, emb)
+        step_logits.append(logits)
+    full = G.forward(params, cfg, tokens=jnp.asarray(toks), prefix_embeds=prefix)
+    # cache step i logits == full-forward logits at position P-1+i
+    for i, sl in enumerate(step_logits):
+        np.testing.assert_allclose(np.asarray(sl[0]), np.asarray(full[0, 2 + i]), atol=2e-4)
+
+
+def _torch_clipcap_beam(model, embed, beam_size, entry_length, stop_token_index):
+    """Faithful replica of the reference ``generate_beam`` control flow
+    (`caption/image_llm/generate.py:9-84`) against the HF model."""
+    device = "cpu"
+    tokens, scores = None, None
+    seq_lengths = torch.ones(beam_size, device=device)
+    is_stopped = torch.zeros(beam_size, device=device, dtype=torch.bool)
+    generated = embed
+    for _ in range(entry_length):
+        logits = model(inputs_embeds=generated).logits
+        logits = logits[:, -1, :]
+        logits = logits.softmax(-1).log()
+        if scores is None:
+            scores, next_tokens = logits.topk(beam_size, -1)
+            generated = generated.expand(beam_size, *generated.shape[1:])
+            next_tokens, scores = next_tokens.permute(1, 0), scores.squeeze(0)
+            tokens = next_tokens
+        else:
+            logits[is_stopped] = -float(np.inf)
+            logits[is_stopped, 0] = 0
+            scores_sum = scores[:, None] + logits
+            seq_lengths[~is_stopped] += 1
+            avg = scores_sum / seq_lengths[:, None]
+            avg, next_tokens = avg.view(-1).topk(beam_size, -1)
+            src = torch.div(next_tokens, scores_sum.shape[1], rounding_mode="floor")
+            seq_lengths = seq_lengths[src]
+            next_tokens = (next_tokens % scores_sum.shape[1]).unsqueeze(1)
+            tokens = torch.cat((tokens[src], next_tokens), dim=1)
+            generated = generated[src]
+            scores = avg * seq_lengths
+            is_stopped = is_stopped[src]
+        nte = model.get_input_embeddings()(next_tokens.squeeze()).view(generated.shape[0], 1, -1)
+        generated = torch.cat((generated, nte), dim=1)
+        is_stopped = is_stopped + next_tokens.eq(stop_token_index).squeeze()
+        if is_stopped.all():
+            break
+    scores = scores / seq_lengths
+    order = scores.argsort(descending=True)
+    return tokens.numpy(), seq_lengths.numpy().astype(int), order.numpy()
+
+
+def test_clipcap_beam_matches_reference_loop(hf_pair):
+    model, params, cfg = hf_pair
+    rng = np.random.default_rng(3)
+    prefix = rng.normal(size=(3, cfg.n_embd)).astype(np.float32) * 0.5
+    stop = 7
+    beam, steps = 4, 12
+    with torch.no_grad():
+        rt, rl, ro = _torch_clipcap_beam(model, torch.from_numpy(prefix[None]), beam, steps, stop)
+    mt, ml, mo = G.clipcap_beam_generate(params, cfg, jnp.asarray(prefix), stop, beam_size=beam, entry_length=steps)
+    mt, ml, mo = np.asarray(mt), np.asarray(ml), np.asarray(mo)
+    # compare the decoded captions in rank order (trimmed to seq length)
+    for r in range(beam):
+        ref_row = rt[ro[r]][: rl[ro[r]]]
+        my_row = mt[mo[r]][: ml[mo[r]]]
+        np.testing.assert_array_equal(my_row[: len(ref_row)], ref_row)
+
+
+def test_clipcap_top_p_matches_greedy(hf_pair):
+    model, params, cfg = hf_pair
+    rng = np.random.default_rng(4)
+    prefix = rng.normal(size=(2, cfg.n_embd)).astype(np.float32) * 0.5
+    stop = 7
+    # torch oracle: reference generate2 == greedy argmax with stop at token 7/764
+    with torch.no_grad():
+        generated = torch.from_numpy(prefix[None])
+        out = []
+        for _ in range(10):
+            logits = model(inputs_embeds=generated).logits[:, -1, :]
+            nxt = int(torch.argmax(logits, -1))
+            out.append(nxt)
+            if nxt in (stop, 764):
+                break
+            nte = model.get_input_embeddings()(torch.tensor([[nxt]]))
+            generated = torch.cat((generated, nte), dim=1)
+    toks, length = G.clipcap_top_p_generate(params, cfg, jnp.asarray(prefix), stop, entry_length=10)
+    mine = list(np.asarray(toks)[: int(length)])
+    assert mine == out
+
+
+def test_caption_pipeline_gpt2_backend(hf_pair):
+    """CaptionModelConfig(llm='gpt2'): init/forward/trainer dispatch and the
+    legacy clipcap_predict path produce finite output end to end."""
+    from rlcf_tpu.models import mappers as M
+    from rlcf_tpu.tasks import caption as Cap
+
+    _, params_llm, cfg = hf_pair
+    mcfg = M.MapperConfig("mlp", clip_dim=16, llm_dim=cfg.n_embd, prefix_length=3, clip_length=3)
+    ccfg = Cap.CaptionModelConfig(mapper=mcfg, llm="gpt2", gpt2=cfg)
+    params = Cap.init_caption_params(jax.random.PRNGKey(0), ccfg)
+    params["gpt2"] = params_llm  # converted HF weights
+
+    clip_emb = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16)).astype(np.float32))
+    tokens = jnp.asarray(np.random.default_rng(1).integers(1, cfg.vocab_size, size=(2, 5)).astype(np.int32))
+    logits = Cap.caption_forward(params, ccfg, clip_emb, tokens)
+    assert logits.shape == (2, 3 + 5, cfg.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    # one trainer step runs and moves the mapper
+    opt, step = Cap.make_caption_trainer(ccfg, Cap.TrainConfig(lr=1e-3, warmup_steps=0, total_steps=10, cap_model="ClipCap"))
+    st = opt.init(params["mapper"])
+    mask = jnp.ones((2, 3 + 5), jnp.float32)
+    new_mapper, st, loss = step(params["mapper"], params["gpt2"], st, jax.random.PRNGKey(0), clip_emb, tokens, mask)
+    assert np.isfinite(float(loss))
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(new_mapper), jax.tree_util.tree_leaves(params["mapper"]))
+    )
+
+    class _Tok:
+        def encode(self, text, add_bos=True):
+            return [7]
+
+        def decode(self, ids, skip_special=True):
+            return " ".join(str(i) for i in ids)
+
+    caps = Cap.clipcap_predict(params, ccfg, np.asarray(clip_emb), _Tok(), beam_size=3, entry_length=8)
+    assert len(caps) == 2 and all(isinstance(c, str) and c for c in caps)
+
+    with pytest.raises(ValueError, match="OPT backend"):
+        Cap.CaptionTTA(params, ccfg, reward=None, opt_tokenizer=_Tok())
