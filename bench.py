@@ -53,7 +53,7 @@ def main():
     n_devices = len(jax.devices())
     n_views = int(os.environ.get("BENCH_VIEWS", 64))
     group = int(os.environ.get("BENCH_GROUP", max(4, 2 * n_devices)))
-    iters = int(os.environ.get("BENCH_ITERS", 8))
+    iters = int(os.environ.get("BENCH_ITERS", 24))
     backend = os.environ.get("BENCH_VIEWGEN", "native")
     dtype = jnp.bfloat16
 
@@ -96,10 +96,12 @@ def main():
         return gen(jnp.asarray(imgs), jax.random.split(jax.random.PRNGKey(seed), group))
 
     if backend == "native":
-        from rlcf_tpu.data.native import generate_views_native
+        # uint8 views: 4x less host->device traffic (the tunnel's bandwidth
+        # varies wildly); the prepare jit normalizes on device.
+        from rlcf_tpu.data.native import generate_views_native_u8
 
         def make_views_host(seed):
-            return generate_views_native(imgs, n_views=n_views, resolution=224, seed=seed)
+            return generate_views_native_u8(imgs, n_views=n_views, resolution=224, seed=seed)
 
     else:
         make_views_host = None
@@ -115,12 +117,15 @@ def main():
         np.asarray(logits)
     print(f"# compile+warmup {time.time()-t0:.0f}s", file=sys.stderr)
 
-    # Hybrid pipeline: a host thread produces view groups (C++ AugMix) while
-    # idle device time generates additional groups on-device; episodes consume
-    # both streams. On hosts with many cores the host stream dominates; here
-    # (1 core + slow-vector-op TPU) the mix roughly doubles host-only rates.
+    # Hybrid pipeline: a host thread produces view groups (C++ AugMix; the
+    # ctypes call releases the GIL) while the consumer runs episodes. The mix
+    # is SELF-BALANCING: whenever the host queue is empty, the consumer fills
+    # the gap with a device-generated group and blocks on its result — the
+    # block overlaps with host production, so a slow host (shared single core)
+    # shifts work to the device and a fast host starves the device path out.
     t0 = time.time()
     done = 0
+    host_groups = dev_groups = 0
     logits = None
     if make_views_host is not None:
         q: "queue.Queue" = queue.Queue(maxsize=2)
@@ -131,28 +136,48 @@ def main():
             q.put(None)
 
         threading.Thread(target=producer, daemon=True).start()
-        # Deterministic interleave (device dispatch is async, so idle-probing
-        # is misleading): one device-generated group per 3 host groups keeps
-        # total device time under the host production rate on this machine.
-        i = 0
-        while True:
-            v = q.get()
+        # Grace before falling back to an (expensive, ~seconds) device-
+        # generated group adapts to the observed host production rate: a fast
+        # host never triggers the fallback, a stalled host hands the gap to
+        # the device.
+        finished = False
+        host_gap = None
+        last_host_t = time.time()
+        while not finished:
+            grace = 1.0 if host_gap is None else min(5.0, max(0.3, 2.0 * host_gap))
+            try:
+                v = q.get(timeout=grace)
+            except queue.Empty:
+                # host starved -> one synchronous device-generated episode
+                lg, _ = clf.adapt(shard(make_views_device(10_000 + dev_groups)))
+                np.asarray(lg)  # block: host C++ keeps producing meanwhile
+                logits = lg
+                done += group
+                dev_groups += 1
+                continue
             if v is None:
-                break
+                finished = True
+                continue
+            now = time.time()
+            gap = now - last_host_t
+            host_gap = gap if host_gap is None else 0.7 * host_gap + 0.3 * gap
+            last_host_t = now
             logits, _ = clf.adapt(shard(v))
             done += group
-            if i % 3 == 0:
-                logits, _ = clf.adapt(shard(make_views_device(10_000 + i)))
-                done += group
-            i += 1
+            host_groups += 1
     else:
         for i in range(iters):
             logits, _ = clf.adapt(shard(make_views_device(i + 1)))
             done += group
+            dev_groups += 1
     np.asarray(logits)  # drain
     dt = time.time() - t0
     img_per_sec = done / dt
-    print(f"# steady {dt:.1f}s for {done} episodes (viewgen={backend}+hybrid)", file=sys.stderr)
+    print(
+        f"# steady {dt:.1f}s for {done} episodes "
+        f"(viewgen={backend}+hybrid, host_groups={host_groups}, dev_groups={dev_groups})",
+        file=sys.stderr,
+    )
 
     print(
         json.dumps(

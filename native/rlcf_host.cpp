@@ -128,8 +128,93 @@ void resize_box(const ImageU8& src, ImageU8& dst, float bx0, float by0, float bx
 
 // --- affine (PIL AFFINE semantics: out(x,y) <- in(a x + b y + c, ...)) -----
 
+// x-only resample: in_y == y exactly (AugMix shear-x / translate-x), so only
+// the dy==0 taps of the general path contribute. in_x uses the general path's
+// f32 summation order; compiler FMA contraction can still flip the final
+// rounding by +-1 gray level on ~1e-5 of pixels (well inside the PIL-parity
+// tolerance). The win is 2 taps instead of 4 and one combined bounds check.
+void affine_x_only(const ImageU8& src, ImageU8& dst, float b, float c) {
+  dst.h = src.h;
+  dst.w = src.w;
+  dst.data.assign(src.data.size(), 0);
+  for (int y = 0; y < src.h; ++y) {
+    const float b_term = b * (y + 0.5f);  // exact: same product as the general path
+    const uint8_t* srow = src.px(y, 0);
+    uint8_t* drow = dst.px(y, 0);
+    for (int x = 0; x < src.w; ++x) {
+      const float in_x = (x + 0.5f) + b_term + c - 0.5f;  // a==1: a*(x+0.5f) == x+0.5f
+      const int x0 = static_cast<int>(std::floor(in_x));
+      const float wx = in_x - x0;
+      const float w0 = 1.0f - wx;
+      uint8_t* o = drow + 3 * x;
+      if (x0 >= 0 && x0 + 1 < src.w) {  // interior: both taps in bounds
+        const uint8_t* p = srow + 3 * x0;
+        o[0] = clamp_u8(w0 * p[0] + wx * p[3] - 0.5f);
+        o[1] = clamp_u8(w0 * p[1] + wx * p[4] - 0.5f);
+        o[2] = clamp_u8(w0 * p[2] + wx * p[5] - 0.5f);
+        continue;
+      }
+      float acc[3] = {0, 0, 0};
+      if (x0 >= 0 && x0 < src.w) {
+        const uint8_t* p = srow + 3 * x0;
+        acc[0] += w0 * p[0];
+        acc[1] += w0 * p[1];
+        acc[2] += w0 * p[2];
+      }
+      if (x0 + 1 >= 0 && x0 + 1 < src.w) {
+        const uint8_t* p = srow + 3 * (x0 + 1);
+        acc[0] += wx * p[0];
+        acc[1] += wx * p[1];
+        acc[2] += wx * p[2];
+      }
+      o[0] = clamp_u8(acc[0] - 0.5f);
+      o[1] = clamp_u8(acc[1] - 0.5f);
+      o[2] = clamp_u8(acc[2] - 0.5f);
+    }
+  }
+}
+
+// y-only resample: in_x == x exactly (AugMix shear-y / translate-y).
+void affine_y_only(const ImageU8& src, ImageU8& dst, float d, float f) {
+  dst.h = src.h;
+  dst.w = src.w;
+  dst.data.assign(src.data.size(), 0);
+  std::vector<float> d_term(src.w);
+  for (int x = 0; x < src.w; ++x) d_term[x] = d * (x + 0.5f);
+  for (int y = 0; y < src.h; ++y) {
+    const float y_term = y + 0.5f;  // e==1: e*(y+0.5f) == y+0.5f
+    uint8_t* drow = dst.px(y, 0);
+    for (int x = 0; x < src.w; ++x) {
+      const float in_y = d_term[x] + y_term + f - 0.5f;
+      const int y0 = static_cast<int>(std::floor(in_y));
+      const float wy = in_y - y0;
+      const float w0 = 1.0f - wy;
+      float acc[3] = {0, 0, 0};
+      if (y0 >= 0 && y0 < src.h) {
+        const uint8_t* p = src.px(y0, x);
+        acc[0] += w0 * p[0];
+        acc[1] += w0 * p[1];
+        acc[2] += w0 * p[2];
+      }
+      if (y0 + 1 >= 0 && y0 + 1 < src.h) {
+        const uint8_t* p = src.px(y0 + 1, x);
+        acc[0] += wy * p[0];
+        acc[1] += wy * p[1];
+        acc[2] += wy * p[2];
+      }
+      uint8_t* o = drow + 3 * x;
+      o[0] = clamp_u8(acc[0] - 0.5f);
+      o[1] = clamp_u8(acc[1] - 0.5f);
+      o[2] = clamp_u8(acc[2] - 0.5f);
+    }
+  }
+}
+
 void affine_bilinear(const ImageU8& src, ImageU8& dst, float a, float b, float c, float d,
                      float e, float f) {
+  // axis-aligned fast paths (shear/translate, 4 of AugMix's 5 warp ops)
+  if (a == 1.0f && e == 1.0f && d == 0.0f && f == 0.0f) return affine_x_only(src, dst, b, c);
+  if (a == 1.0f && e == 1.0f && b == 0.0f && c == 0.0f) return affine_y_only(src, dst, d, f);
   dst.h = src.h;
   dst.w = src.w;
   dst.data.assign(src.data.size(), 0);
@@ -309,14 +394,25 @@ void normalize_into(const ImageU8& img, float* out) {
       out[i * 3 + ch] = (img.data[i * 3 + ch] / 255.0f - kClipMean[ch]) / kClipStd[ch];
 }
 
+// out_f32 != nullptr: write CLIP-normalized float32 views.
+// out_u8  != nullptr: write raw uint8 views (device normalizes; the AugMix
+//   mix is rounded to the nearest gray level — a <=0.5/255 quantization, below
+//   the bf16 input precision the towers consume, and it cuts host->device
+//   transfer 4x, which matters on bandwidth-constrained links).
 void generate_views_one(const uint8_t* image, int h, int w, int n_views, int resolution,
-                        int augmix, float severity, float crop_min, uint64_t seed, float* out) {
+                        int augmix, float severity, float crop_min, uint64_t seed, float* out_f32,
+                        uint8_t* out_u8) {
   ImageU8 src;
   src.h = h;
   src.w = w;
   src.data.assign(image, image + static_cast<size_t>(h) * w * 3);
   const size_t view_stride = static_cast<size_t>(resolution) * resolution * 3;
   Rng rng(seed);
+
+  auto emit = [&](const ImageU8& img, int v) {
+    if (out_f32) normalize_into(img, out_f32 + v * view_stride);
+    if (out_u8) std::memcpy(out_u8 + v * view_stride, img.data.data(), view_stride);
+  };
 
   // view 0: bicubic short-side resize + center crop
   ImageU8 base;
@@ -327,15 +423,14 @@ void generate_views_one(const uint8_t* image, int h, int w, int n_views, int res
     by0 = (h - side) / 2.0f;
     resize_box(src, base, bx0, by0, bx0 + side, by0 + side, resolution, resolution, 2);
   }
-  normalize_into(base, out);
+  emit(base, 0);
 
   for (int v = 1; v < n_views; ++v) {
     ImageU8 x_orig;
     random_resized_crop(src, x_orig, rng, resolution, crop_min, 1.0f);
     if (rng.uniform() < 0.5f) hflip(x_orig);
-    float* dst = out + v * view_stride;
     if (!augmix) {
-      normalize_into(x_orig, dst);
+      emit(x_orig, v);
       continue;
     }
     // Dirichlet(1,1,1) weights + Beta(1,1) mix. Normalization is affine, so
@@ -354,12 +449,15 @@ void generate_views_one(const uint8_t* image, int h, int w, int n_views, int res
       wc[chain] = (1 - m) * g[chain] / gsum;
     }
     const size_t n_px = static_cast<size_t>(resolution) * resolution;
+    float* dst = out_f32 ? out_f32 + v * view_stride : nullptr;
+    uint8_t* du = out_u8 ? out_u8 + v * view_stride : nullptr;
     for (size_t i = 0; i < n_px; ++i) {
       for (int ch = 0; ch < 3; ++ch) {
         const size_t k = i * 3 + ch;
         const float mixed = m * x_orig.data[k] + wc[0] * chains[0].data[k] +
                             wc[1] * chains[1].data[k] + wc[2] * chains[2].data[k];
-        dst[k] = (mixed / 255.0f - kClipMean[ch]) / kClipStd[ch];
+        if (dst) dst[k] = (mixed / 255.0f - kClipMean[ch]) / kClipStd[ch];
+        if (du) du[k] = clamp_u8(mixed);
       }
     }
   }
@@ -382,7 +480,31 @@ void rlcf_generate_views_batch(const uint8_t* images, int n, int h, int w, int n
       const int i = next.fetch_add(1);
       if (i >= n) break;
       generate_views_one(images + i * in_stride, h, w, n_views, resolution, augmix, severity,
-                         crop_min, seed * 0x9E3779B97F4A7C15ull + i, out + i * out_stride);
+                         crop_min, seed * 0x9E3779B97F4A7C15ull + i, out + i * out_stride,
+                         nullptr);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < std::min(n_threads, n); ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
+
+// Same, but emits raw uint8 views (normalize on device). Identical RNG
+// stream, so view geometry/ops match the f32 API bit-for-bit pre-normalize.
+void rlcf_generate_views_batch_u8(const uint8_t* images, int n, int h, int w, int n_views,
+                                  int resolution, int augmix, float severity, float crop_min,
+                                  uint64_t seed, uint8_t* out, int n_threads) {
+  const size_t in_stride = static_cast<size_t>(h) * w * 3;
+  const size_t out_stride = static_cast<size_t>(n_views) * resolution * resolution * 3;
+  if (n_threads <= 0) n_threads = std::max(1u, std::thread::hardware_concurrency());
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    while (true) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+      generate_views_one(images + i * in_stride, h, w, n_views, resolution, augmix, severity,
+                         crop_min, seed * 0x9E3779B97F4A7C15ull + i, nullptr,
+                         out + i * out_stride);
     }
   };
   std::vector<std::thread> threads;

@@ -58,6 +58,10 @@ def get_classnames(set_id: str) -> List[str]:
         return [names[i] for i in variant_class_indices(set_id)]
     if set_id in meta["fine_grained"]:
         return list(meta["fine_grained"][set_id])
+    if set_id == "bongard":
+        # binary HOI concept membership (`TPT/clip/custom_clip.py:350-354`;
+        # learned_cls replaces these with learnable class tokens)
+        return ["True", "False"]
     raise KeyError(f"unknown dataset id {set_id!r}")
 
 

@@ -40,6 +40,10 @@ def _lib():
         u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_uint64, f32p, ctypes.c_int,
     ]
+    lib.rlcf_generate_views_batch_u8.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_uint64, u8p, ctypes.c_int,
+    ]
     lib.rlcf_preprocess_batch.argtypes = [
         u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p, ctypes.c_int,
     ]
@@ -69,6 +73,30 @@ def generate_views_native(
     n, h, w, _ = images.shape
     out = np.empty((n, n_views, resolution, resolution, 3), np.float32)
     _lib().rlcf_generate_views_batch(
+        images, n, h, w, n_views, resolution, int(augmix), float(severity), float(crop_min),
+        np.uint64(seed), out, n_threads,
+    )
+    return out
+
+
+def generate_views_native_u8(
+    images: np.ndarray,
+    n_views: int,
+    resolution: int = 224,
+    augmix: bool = True,
+    severity: float = 1.0,
+    crop_min: float = 0.08,
+    seed: int = 0,
+    n_threads: int = 0,
+) -> np.ndarray:
+    """[N, H, W, 3] u8 -> [N, n_views, R, R, 3] u8 RAW views (same RNG stream
+    as ``generate_views_native``); normalize on device — 4x less host->device
+    traffic, and the AugMix-mix quantization (<=0.5 gray level) is below the
+    towers' bf16 input precision."""
+    images = np.ascontiguousarray(images, dtype=np.uint8)
+    n, h, w, _ = images.shape
+    out = np.empty((n, n_views, resolution, resolution, 3), np.uint8)
+    _lib().rlcf_generate_views_batch_u8(
         images, n, h, w, n_views, resolution, int(augmix), float(severity), float(crop_min),
         np.uint64(seed), out, n_threads,
     )

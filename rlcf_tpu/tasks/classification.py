@@ -26,7 +26,19 @@ import optax
 from ..models import clip as clip_model
 from ..tokenizer import tokenize
 from ..data.class_names import assemble_prompts
+from ..data.transforms import CLIP_MEAN, CLIP_STD
 from ..metrics.classification import AccuracyMeter
+
+
+def maybe_normalize_u8(views):
+    """CLIP-normalize raw uint8 views on device; float views pass through.
+
+    Lets hosts ship uint8 pixels (4x less transfer) with the affine normalize
+    fused into the downstream encoder by XLA.
+    """
+    if views.dtype == jnp.uint8:
+        return (views.astype(jnp.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+    return views
 
 
 def truncate_tokens(tokens: np.ndarray) -> np.ndarray:
@@ -229,8 +241,11 @@ class PromptTTAClassifier:
             """[N, B, H, W, 3] -> (img_feats [N,B,E], sel [N,S], reward_sim).
 
             reward_sim: [N, S, C] for a single reward, [N, M, S, C] stacked
-            for ensembles.
+            for ensembles. uint8 views are raw pixels, CLIP-normalized here
+            on device (4x cheaper host->device transfer; the normalize fuses
+            into the first conv).
             """
+            views_batch = maybe_normalize_u8(views_batch)
             N, B = views_batch.shape[:2]
             n_keep = max(1, int(B * ecfg.selection_p))
             flat = views_batch.reshape((N * B,) + views_batch.shape[2:])
@@ -378,6 +393,8 @@ class EncoderTTAClassifier:
         teacher_scale = jnp.exp(reward_model.params["logit_scale"]) if hasattr(reward_model, "params") else None
 
         def full_episode(cparams, rparams, class_feats, r_class_feats, frozen_visual, trainable0, views):
+            views = maybe_normalize_u8(views)
+
             def reward_image_sim(views_sel):
                 from ..ops.image_ops import resize_bicubic_align_corners
 

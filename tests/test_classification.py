@@ -19,6 +19,7 @@ def test_class_metadata_counts():
     assert len(cn.get_classnames("R")) == 200
     assert len(cn.get_classnames("V")) == 1000
     assert len(cn.get_classnames("I")) == 1000
+    assert cn.get_classnames("bongard") == ["True", "False"]
     assert len(cn.get_classnames("flower102")) == 102
     assert len(cn.get_classnames("dtd")) == 47
 

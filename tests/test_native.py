@@ -30,6 +30,42 @@ def test_generate_views_shapes_and_determinism():
     np.testing.assert_allclose(v1[:, 0], v3[:, 0])
 
 
+def test_u8_views_match_f32_after_normalize():
+    """u8 API shares the f32 API's RNG stream; normalized u8 views differ only
+    by the mix quantization (<= half gray level / std)."""
+    from rlcf_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+
+    imgs = np.random.default_rng(3).integers(0, 256, (2, 128, 128, 3), dtype=np.uint8)
+    f = native.generate_views_native(imgs, n_views=6, resolution=64, seed=5)
+    u = native.generate_views_native_u8(imgs, n_views=6, resolution=64, seed=5)
+    un = (u.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+    assert np.abs(f - un).max() <= 0.5 / 255 / CLIP_STD.min() + 1e-4
+
+
+def test_u8_views_adapt_via_device_normalize():
+    """PromptTTAClassifier accepts raw uint8 views (device-side normalize)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rlcf_tpu.core.episode import EpisodeConfig
+    from rlcf_tpu.core.reward import ClipReward, RewardConfig
+    from rlcf_tpu.models import clip as C
+    from rlcf_tpu.tasks.classification import PromptTTAClassifier
+
+    cfg = C.ClipConfig("p", 16, 32, 1, 32, 16, 32, 1, vision_heads_override=2, text_heads_override=2)
+    params = C.init_clip_params(jax.random.PRNGKey(0), cfg)
+    reward = ClipReward(C.init_clip_params(jax.random.PRNGKey(1), cfg), cfg, RewardConfig(sample_k=2))
+    clf = PromptTTAClassifier(params, cfg, reward, EpisodeConfig(tta_steps=1, selection_p=0.25, sample_k=2)).setup(
+        ["cat", "dog"]
+    )
+    u8 = np.random.default_rng(0).integers(0, 256, (2, 8, 32, 32, 3), dtype=np.uint8)
+    from rlcf_tpu.tasks.classification import maybe_normalize_u8
+
+    logits_u8, _ = clf.adapt(jnp.asarray(u8))
+    logits_f32, _ = clf.adapt(np.asarray(maybe_normalize_u8(jnp.asarray(u8))))
+    np.testing.assert_allclose(np.asarray(logits_u8), np.asarray(logits_f32), atol=1e-4)
+
+
 def test_views_finite_and_in_range():
     from rlcf_tpu.data.transforms import CLIP_MEAN, CLIP_STD
 
