@@ -31,6 +31,12 @@ def get_args(argv=None):
     p.add_argument("--tpt", action="store_true", help="compat flag: TPT entropy loss")
     p.add_argument("--cocoop", action="store_true", help="CoCoOp image-conditioned prompts (entropy TTA)")
     p.add_argument("--resume", action="store_true", help="continue from the progress journal in --output")
+    p.add_argument(
+        "--viewgen", default="device", choices=["device", "native"],
+        help="AugMix backend: 'device' = jitted TPU pipeline (default); 'native' = "
+        "C++ host pipeline emitting uint8 (normalized on device) — overlaps with "
+        "episodes and cuts host->device transfer 4x on bandwidth-limited links",
+    )
     return p.parse_args(argv)
 
 
@@ -87,9 +93,18 @@ def main(argv=None):
         clf = PromptTTAClassifier(
             params, cfg, reward, ecfg, ctx_init=args.ctx_init or "a photo of a", n_ctx=args.n_ctx, ctx0=ctx0
         )
-    gen = make_view_generator(
-        n_views=args.batch_size, resolution=args.resolution, augmix=bool(args.augmix), hard_aug=bool(args.hard_aug)
-    )
+    if args.viewgen == "native":
+        from ..data import native as native_mod
+
+        if args.hard_aug:
+            raise SystemExit("--viewgen native does not implement --hard_aug (BYOL); use --viewgen device")
+        if not native_mod.available():
+            raise SystemExit("--viewgen native: no C++ toolchain available to build the host pipeline")
+        gen = None
+    else:
+        gen = make_view_generator(
+            n_views=args.batch_size, resolution=args.resolution, augmix=bool(args.augmix), hard_aug=bool(args.hard_aug)
+        )
 
     import json as _json
     import os as _os
@@ -122,9 +137,18 @@ def main(argv=None):
             if not group_imgs:
                 return
             imgs = np.stack([_to_canonical(im, 256) for im in group_imgs])
-            keys = jax.random.split(jax.random.PRNGKey(args.seed * 100003 + rng_counter[0]), len(group_imgs))
-            rng_counter[0] += 1
-            views = gen(jnp.asarray(imgs), keys)
+            if gen is None:  # native host pipeline, raw u8 (device normalizes)
+                from ..data.native import generate_views_native_u8
+
+                views = generate_views_native_u8(
+                    imgs.astype(np.uint8), n_views=args.batch_size, resolution=args.resolution,
+                    augmix=bool(args.augmix), seed=args.seed * 100003 + rng_counter[0],
+                )
+                rng_counter[0] += 1
+            else:
+                keys = jax.random.split(jax.random.PRNGKey(args.seed * 100003 + rng_counter[0]), len(group_imgs))
+                rng_counter[0] += 1
+                views = gen(jnp.asarray(imgs), keys)
             logits, _ = clf.adapt(views)
             from ..metrics.classification import topk_correct
 

@@ -536,6 +536,8 @@ class CoCoOpTTAClassifier:
         scale = jnp.exp(self.clip_params["logit_scale"])
 
         def full_episode(cparams, meta_params, views):
+            views = maybe_normalize_u8(views)
+
             def policy_logits(ctx, cache, idx):
                 prompts = P.splice_prompts(ctx, pt)
                 tf = clip_model.encode_text_embeds(cparams, cfg, prompts, pt.eot_idx)
