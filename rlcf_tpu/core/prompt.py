@@ -48,14 +48,25 @@ class PromptState:
         return self.ctx0.shape[0]
 
 
+def splice_arrays(ctx, fixed_embed, ctx_map, cls=None, cls_mask=None):
+    """Assemble [C, T, D] prompt embeddings from explicit arrays.
+
+    Keeping ``fixed_embed`` an argument (it derives from the token embedding,
+    i.e. model weights) lets jitted consumers avoid baking a [C, T, D]
+    constant into the executable and keeps serving exports weight-agnostic.
+    """
+    gather = ctx[jnp.clip(ctx_map, 0)]                            # [C, T, D]
+    use_ctx = (ctx_map >= 0)[..., None].astype(ctx.dtype)
+    prompts = fixed_embed.astype(ctx.dtype) + gather * use_ctx
+    if cls is not None:
+        prompts = prompts + cls[:, None, :] * cls_mask[..., None].astype(ctx.dtype)
+    return prompts
+
+
 def splice_prompts(ctx, state: PromptState, cls=None):
     """Assemble [C, T, D] prompt embeddings from trainable ctx (and cls)."""
-    gather = ctx[jnp.clip(state.ctx_map, 0)]                      # [C, T, D]
-    use_ctx = (state.ctx_map >= 0)[..., None].astype(ctx.dtype)
-    prompts = state.fixed_embed.astype(ctx.dtype) + gather * use_ctx
-    if cls is not None:
-        prompts = prompts + cls[:, None, :] * state.cls_mask[..., None].astype(ctx.dtype)
-    return prompts
+    return splice_arrays(ctx, state.fixed_embed, state.ctx_map, cls,
+                         state.cls_mask if cls is not None else None)
 
 
 def init_ctx_from_words(clip_params, ctx_init: str):

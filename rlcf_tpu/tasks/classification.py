@@ -175,7 +175,6 @@ class PromptTTAClassifier:
         self.reward.set_class_features(tokenized=self.prompt_state.tokenized)
         pt = self.prompt_state
         clip_params, cfg = self.clip_params, self.clip_cfg
-        scale = jnp.exp(clip_params["logit_scale"])
         reward_model = self.reward
         ecfg = self.ecfg
 
@@ -184,16 +183,26 @@ class PromptTTAClassifier:
         # constants baked into the executable — with 430M reward+policy
         # params that produced multi-hundred-MB executables and pathological
         # (or crashing) compiles on the TPU compile service.
-        if self.learned_cls:
+        # The prompt-template arrays derive from the token embedding (weights!)
+        # — pass them as jit arguments too, both to keep executables free of a
+        # [C, T, D] constant (158 MB at 1000 ImageNet classes) and to keep
+        # serving exports weight-agnostic.
+        learned_cls = self.learned_cls
+        pt_args = {"fixed_embed": pt.fixed_embed, "ctx_map": pt.ctx_map, "eot_idx": pt.eot_idx}
+        if learned_cls:
             trainable0 = {"ctx": pt.ctx0, "cls": pt.cls0}
-            splice = lambda tr: P.splice_prompts(tr["ctx"], pt, cls=tr["cls"])
+            pt_args["cls_mask"] = pt.cls_mask
         else:
             trainable0 = pt.ctx0
-            splice = lambda tr: P.splice_prompts(tr, pt)
 
-        def text_features(cparams, trainable):
-            prompts = splice(trainable)
-            feats = clip_model.encode_text_embeds(cparams, cfg, prompts, pt.eot_idx)
+        def text_features(cparams, trainable, pt_a):
+            if learned_cls:
+                prompts = P.splice_arrays(
+                    trainable["ctx"], pt_a["fixed_embed"], pt_a["ctx_map"], trainable["cls"], pt_a["cls_mask"]
+                )
+            else:
+                prompts = P.splice_arrays(trainable, pt_a["fixed_embed"], pt_a["ctx_map"])
+            feats = clip_model.encode_text_embeds(cparams, cfg, prompts, pt_a["eot_idx"])
             return clip_model.normalize(feats.astype(jnp.float32))
 
         # Initial text features are per-dataset constants: confidence selection
@@ -201,7 +210,7 @@ class PromptTTAClassifier:
         # selection forward; here it costs one setup-time forward). The two
         # stages compile separately — the frozen towers (stage A) and the
         # text-tower TTA scan (stage B) — keeping graphs small.
-        tf0 = jax.jit(text_features)(clip_params, trainable0)
+        tf0 = jax.jit(text_features)(clip_params, trainable0, pt_args)
 
         from ..core import losses as Lo
         from ..core.episode import make_optimizer, step_loss
@@ -251,7 +260,8 @@ class PromptTTAClassifier:
             flat = views_batch.reshape((N * B,) + views_batch.shape[2:])
             img = clip_model.encode_image(cparams, cfg, flat)
             img_feats = clip_model.normalize(img.astype(jnp.float32)).reshape(N, B, -1)
-            logits0 = scale * jnp.einsum("nbe,ce->nbc", img_feats, tf0_, preferred_element_type=jnp.float32)
+            scale_ = jnp.exp(cparams["logit_scale"]).astype(jnp.float32)
+            logits0 = scale_ * jnp.einsum("nbe,ce->nbc", img_feats, tf0_, preferred_element_type=jnp.float32)
             ent = Lo.entropy_per_sample(logits0)
             sel = Lo.select_confident_entropy(ent, n_keep)  # [N, S]
             sel_views = jnp.take_along_axis(
@@ -267,12 +277,16 @@ class PromptTTAClassifier:
                 r_sim = _reward_encode(rparams, reward_model.cfg, sel_views, r_class_feats).reshape(N, n_keep, -1)
             return img_feats, sel, r_sim
 
-        def one_episode(cparams, tf0_, img_feats, sel, reward_sim):
+        def one_episode(cparams, trainable0_, pt_a, tf0_, img_feats, sel, reward_sim):
+            # Everything weight-derived (trainable init, prompt-template
+            # embeddings, logit scale) is an ARGUMENT, not a closure: no big
+            # baked constants, and serving exports stay weight-agnostic.
             sel_feats = img_feats[sel]  # [S, E]
+            scale_ = jnp.exp(cparams["logit_scale"]).astype(jnp.float32)
 
             def loss_fn(ctx):
-                tf = text_features(cparams, ctx)
-                logits = scale * jnp.dot(sel_feats, tf.T, preferred_element_type=jnp.float32)
+                tf = text_features(cparams, ctx, pt_a)
+                logits = scale_ * jnp.dot(sel_feats, tf.T, preferred_element_type=jnp.float32)
                 return step_loss(logits, reward_sim, ecfg, reward_model.score_samples, teacher_scale)
 
             def step(carry, _):
@@ -282,17 +296,19 @@ class PromptTTAClassifier:
                 return (optax.apply_updates(ctx, upd), opt_state), loss
 
             (ctx_t, _), losses = jax.lax.scan(
-                step, (trainable0, opt.init(trainable0)), None, length=ecfg.tta_steps
+                step, (trainable0_, opt.init(trainable0_)), None, length=ecfg.tta_steps
             )
-            tf_final = text_features(cparams, ctx_t) if ecfg.tta_steps > 0 else tf0_
-            final = scale * jnp.dot(img_feats[:1], tf_final.T, preferred_element_type=jnp.float32)
+            tf_final = text_features(cparams, ctx_t, pt_a) if ecfg.tta_steps > 0 else tf0_
+            final = scale_ * jnp.dot(img_feats[:1], tf_final.T, preferred_element_type=jnp.float32)
             return final[0], losses
 
         self._tf0 = tf0
+        self._trainable0 = trainable0
+        self._pt_args = pt_args
         self._reward_params_arg = reward_params_arg
         self._reward_feats_arg = reward_feats_arg
         self._prepare = prepare
-        self._episodes = jax.jit(jax.vmap(one_episode, in_axes=(None, None, 0, 0, 0)))
+        self._episodes = jax.jit(jax.vmap(one_episode, in_axes=(None, None, None, None, 0, 0, 0)))
         return self
 
     def adapt(self, views_batch):
@@ -300,8 +316,42 @@ class PromptTTAClassifier:
         img_feats, sel, r_sim = self._prepare(
             self.clip_params, self._reward_params_arg, self._tf0, self._reward_feats_arg, jnp.asarray(views_batch)
         )
-        logits, losses = self._episodes(self.clip_params, self._tf0, img_feats, sel, r_sim)
+        logits, losses = self._episodes(
+            self.clip_params, self._trainable0, self._pt_args, self._tf0, img_feats, sel, r_sim
+        )
         return logits, {"losses": losses, "selected": sel}
+
+    # -- serving export -----------------------------------------------------
+
+    def serving_fn(self):
+        """Pure fused episode for AOT export (see ``utils.export``).
+
+        (cparams, rparams, trainable0, pt_args, tf0, r_feats, views) ->
+        logits [N, C]. All weight-derived values (prompt init, template
+        embeddings, logit scale, text features) are arguments, so one artifact
+        serves any checkpoint of this architecture/class-count. Exception: KD
+        losses bind the reward logit scale at export time.
+        """
+        prepare, episodes = self._prepare, self._episodes
+
+        def serve(cparams, rparams, trainable0, pt_args, tf0, r_feats, views):
+            img_feats, sel, r_sim = prepare(cparams, rparams, tf0, r_feats, views)
+            logits, _ = episodes(cparams, trainable0, pt_args, tf0, img_feats, sel, r_sim)
+            return logits
+
+        return serve
+
+    def serving_example_args(self, views_shape, views_dtype=jnp.float32):
+        """Example-argument tuple (shape structs ok) matching ``serving_fn``."""
+        return (
+            self.clip_params,
+            self._reward_params_arg,
+            self._trainable0,
+            self._pt_args,
+            self._tf0,
+            self._reward_feats_arg,
+            jax.ShapeDtypeStruct(tuple(views_shape), views_dtype),
+        )
 
 
 # ---------------------------------------------------------------------------

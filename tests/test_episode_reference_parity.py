@@ -69,7 +69,9 @@ def test_adapted_context_close_to_reference(golden):
     )
     # run the same scan manually via the episodes fn and compare final logits
     # (ctx itself isn't returned; final logits already pin the trajectory).
-    logits, _ = clf._episodes(clf.clip_params, clf._tf0, img_feats, sel, r_sim)
+    logits, _ = clf._episodes(
+        clf.clip_params, clf._trainable0, clf._pt_args, clf._tf0, img_feats, sel, r_sim
+    )
     np.testing.assert_allclose(np.asarray(logits[0]), data["final_logits"][0], rtol=2e-3, atol=2e-4)
 
 
