@@ -23,12 +23,35 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None, tp: int = 1) -> Mesh:
-    """Build a (dp, tp) mesh over the first ``n_devices`` devices."""
-    devices = jax.devices()[: n_devices or len(jax.devices())]
+    """Build a (dp, tp) mesh over the first ``n_devices`` visible devices.
+
+    Raises a descriptive ``ValueError`` when the request cannot be satisfied
+    (fewer devices visible than asked for, or ``dp * tp`` not matching), so
+    callers see the actual device topology instead of a bare assert.
+    """
+    visible = jax.devices()
+    if n_devices is not None and n_devices > len(visible):
+        raise ValueError(
+            f"make_mesh: {n_devices} devices requested but only {len(visible)} visible "
+            f"({visible[0].platform}). For multi-chip testing on a single host, force a "
+            f"virtual CPU mesh BEFORE first backend use: "
+            f'jax.config.update("jax_platforms", "cpu"); '
+            f'jax.config.update("jax_num_cpu_devices", {n_devices}).'
+        )
+    devices = visible[: n_devices or len(visible)]
     n = len(devices)
     if dp is None:
+        if n % tp != 0:
+            raise ValueError(
+                f"make_mesh: tp={tp} does not divide the {n} visible devices; "
+                f"pick tp from the divisors of {n}."
+            )
         dp = n // tp
-    assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
+    if dp * tp != n:
+        raise ValueError(
+            f"make_mesh: dp({dp}) * tp({tp}) != devices({n}); "
+            f"dp and tp must factor the device count exactly."
+        )
     arr = np.array(devices).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))
 

@@ -13,8 +13,56 @@ def test_make_mesh_shapes():
     assert dict(mesh.shape) == {"dp": 4, "tp": 2}
     mesh2 = make_mesh(8)
     assert dict(mesh2.shape) == {"dp": 8, "tp": 1}
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="must factor"):
         make_mesh(8, dp=3, tp=2)
+    with pytest.raises(ValueError, match="does not divide"):
+        make_mesh(8, tp=3)
+    with pytest.raises(ValueError, match="visible"):
+        make_mesh(16)
+
+
+def test_dryrun_multichip_in_process():
+    """The driver's multi-chip gate runs under the pytest virtual 8-CPU mesh
+    (exercises the devices-already-sufficient path of _ensure_virtual_devices)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    try:
+        from __graft_entry__ import dryrun_multichip
+
+        dryrun_multichip(8)
+    finally:
+        sys.path.pop(0)
+
+
+def test_bench_shaped_sharded_flagship():
+    """bench.py's n_devices>1 dp branch, miniaturized: a PromptTTAClassifier
+    episode group sharded over the dp mesh matches the unsharded result."""
+    from jax.sharding import NamedSharding
+    from rlcf_tpu.core.episode import EpisodeConfig
+    from rlcf_tpu.core.reward import ClipReward, RewardConfig
+    from rlcf_tpu.models import clip as C
+    from rlcf_tpu.tasks.classification import PromptTTAClassifier
+
+    pcfg = C.ClipConfig("bench-smoke-p", 16, 32, 1, 32, 16, 32, 1, vision_heads_override=2, text_heads_override=2)
+    rcfg = C.ClipConfig("bench-smoke-r", 16, 32, 1, 32, 16, 32, 1, vision_heads_override=2, text_heads_override=2)
+    pparams = C.init_clip_params(jax.random.PRNGKey(0), pcfg)
+    rparams = C.init_clip_params(jax.random.PRNGKey(1), rcfg)
+    reward = ClipReward(rparams, rcfg, RewardConfig(sample_k=2))
+    ecfg = EpisodeConfig(tta_steps=2, selection_p=0.5, lr=5e-3, sample_k=2)
+    clf = PromptTTAClassifier(pparams, pcfg, reward, ecfg, ctx_init="a photo of a")
+    clf.setup(["cat", "dog", "owl", "truck"])
+
+    mesh = make_mesh(8)
+    data_sharding, _ = episode_shardings(mesh)
+    # uint8 views like the native bench wire format (normalized on device)
+    views = np.random.default_rng(0).integers(0, 256, (8, 4, 32, 32, 3), dtype=np.uint8)
+    logits_plain, _ = clf.adapt(views)
+    logits_sharded, _ = clf.adapt(jax.device_put(jnp.asarray(views), data_sharding))
+    np.testing.assert_allclose(
+        np.asarray(logits_sharded), np.asarray(logits_plain), rtol=2e-3, atol=2e-3
+    )
 
 
 def test_sharded_batched_episode_matches_single_device():
