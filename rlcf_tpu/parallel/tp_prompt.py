@@ -59,7 +59,7 @@ def make_tp_text_features(mesh: Mesh, clip_cfg):
         mesh=mesh,
         in_specs=(P(), P(), P("tp"), P("tp"), P("tp")),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
 
 
