@@ -77,6 +77,8 @@ def main(argv=None):
             print(f"BLEU-{b+1}: {sc*100:.2f}")
         for key in ("meteor", "rouge", "cider"):
             print(f"{key.upper()}: {other[key]*100:.2f}")
+        if other.get("meteor_mode") != "nltk_wordnet":
+            print(f"METEOR mode: {other['meteor_mode']} (degraded — not pycocoevalcap-comparable)")
         out.update({k: v for k, v in other.items()})
     print(f"CLIPScore: {out['clipscore']*100:.2f}")
     if "ref_clipscore" in out:

@@ -9,8 +9,10 @@ length gaussian and count clipping, x10).
 Tokenization: pycocoevalcap shells out to the Java PTBTokenizer; here we use
 a close PTB-style approximation (lowercase, punctuation stripped) — scores
 match pycocoevalcap within tokenization noise. METEOR (a Java jar upstream)
-uses nltk's aligner when wordnet data is present, else an exact-match
-approximation.
+uses nltk's aligner: exact/stem/synonym stages with wordnet data, exact+stem
+without (this environment has no wordnet corpus) — the active variant is
+reported via ``meteor_mode()`` / the ``meteor_mode`` result field and a
+RuntimeWarning fires once when degraded.
 """
 
 from __future__ import annotations
@@ -158,21 +160,80 @@ def cider_d(references: List[List[str]], candidates: List[str], n_max: int = 4, 
 
 
 # ---------------------------------------------------------------------------
-# METEOR (nltk-backed when wordnet data exists; exact-match fallback)
+# METEOR (nltk-backed; exact+stem stages when wordnet data is unavailable)
 # ---------------------------------------------------------------------------
 
 
-def meteor(references: List[List[str]], candidates: List[str]) -> float:
-    try:
-        from nltk.translate.meteor_score import meteor_score
+class _NoWordnet:
+    """Stub wordnet reader: disables the synonym stage of nltk's METEOR
+    aligner (the exact and Porter-stem stages still run). Used when the
+    wordnet corpus data is not installed (it is NOT in this environment)."""
 
-        scores = [
-            meteor_score([ptb_tokenize(r) for r in refs], ptb_tokenize(c))
-            for refs, c in zip(references, candidates)
-        ]
-        return sum(scores) / max(len(scores), 1)
-    except (ImportError, LookupError):
+    @staticmethod
+    def synsets(word):
+        return []
+
+
+_METEOR_MODE: str | None = None
+_METEOR_WARNED = False
+
+
+def meteor_mode() -> str:
+    """Which METEOR variant this environment can compute.
+
+    - "nltk_wordnet": nltk aligner with exact/stem/synonym stages (wordnet
+      data installed). Closest available to pycocoevalcap's METEOR 1.5 —
+      still not identical (no paraphrase tables, different parameters).
+    - "exact+stem": nltk aligner with the synonym stage disabled.
+    - "exact_approx": hand-rolled exact matcher (nltk missing entirely).
+    """
+    global _METEOR_MODE
+    if _METEOR_MODE is None:
+        try:
+            from nltk.corpus import wordnet as wn
+
+            wn.synsets("dog")  # raises LookupError when corpus data missing
+            _METEOR_MODE = "nltk_wordnet"
+        except Exception:
+            try:
+                import nltk.translate.meteor_score  # noqa: F401
+
+                _METEOR_MODE = "exact+stem"
+            except Exception:
+                _METEOR_MODE = "exact_approx"
+    return _METEOR_MODE
+
+
+def meteor(references: List[List[str]], candidates: List[str]) -> float:
+    """Mean METEOR over candidates; the matching stages depend on available
+    data — see ``meteor_mode()``. Degraded modes warn loudly ONCE per process
+    (the reference scores with pycocoevalcap's METEOR 1.5 jar,
+    `clipscore/generation_eval_utils.py:17-40`; a silently different scorer
+    would skew comparisons)."""
+    global _METEOR_WARNED
+    mode = meteor_mode()
+    if mode != "nltk_wordnet" and not _METEOR_WARNED:
+        import warnings
+
+        warnings.warn(
+            f"METEOR degraded to '{mode}': wordnet corpus data is not installed, "
+            "so synonym matching is disabled. Scores are NOT comparable to "
+            "pycocoevalcap's METEOR 1.5 (reference scorer). Results carry a "
+            "'meteor_mode' field recording this.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        _METEOR_WARNED = True
+    if mode == "exact_approx":
         return _meteor_exact(references, candidates)
+    from nltk.translate.meteor_score import meteor_score
+
+    kwargs = {} if mode == "nltk_wordnet" else {"wordnet": _NoWordnet()}
+    scores = [
+        meteor_score([ptb_tokenize(r) for r in refs], ptb_tokenize(c), **kwargs)
+        for refs, c in zip(references, candidates)
+    ]
+    return sum(scores) / max(len(scores), 1)
 
 
 def _meteor_exact(references: List[List[str]], candidates: List[str], alpha=0.9, beta=3.0, gamma=0.5) -> float:
@@ -208,10 +269,12 @@ def _meteor_exact(references: List[List[str]], candidates: List[str], alpha=0.9,
 
 
 def get_all_metrics(references: List[List[str]], candidates: List[str]) -> Dict:
-    """Full suite matching `generation_eval_utils.get_all_metrics` keys."""
+    """Full suite matching `generation_eval_utils.get_all_metrics` keys, plus
+    ``meteor_mode`` recording which METEOR variant was computable here."""
     return {
         "bleu": bleu(references, candidates),
         "meteor": meteor(references, candidates),
+        "meteor_mode": meteor_mode(),
         "rouge": rouge_l(references, candidates),
         "cider": cider_d(references, candidates),
     }

@@ -309,15 +309,19 @@ def clipcap_top_p_generate(
 
     def step(carry, i):
         tokens, stopped, cache = carry
+        # a step that emits the stop token still writes it: the reference
+        # appends the stop token before breaking (`generate.py:135-139`), so
+        # "wrote" is the PRE-update stopped flag, not the post-update one
+        wrote = ~stopped
         prev = tokens[i - 1]
         logits, cache = _decode_step(params, cfg, cache, params["wte"][prev][None, None, :])
         nxt = pick(logits[0])
         tokens = tokens.at[i].set(jnp.where(stopped, 0, nxt))
         stopped = stopped | (nxt == stop_token) | (nxt == alt_stop_token)
-        return (tokens, stopped, cache), ~stopped
+        return (tokens, stopped, cache), wrote
 
-    (tokens, _, _), alive = jax.lax.scan(step, (tokens, stopped0, cache), jnp.arange(1, entry_length))
-    length = 1 + jnp.sum(alive.astype(jnp.int32))
+    (tokens, _, _), wrote = jax.lax.scan(step, (tokens, stopped0, cache), jnp.arange(1, entry_length))
+    length = 1 + jnp.sum(wrote.astype(jnp.int32))
     return tokens, length
 
 

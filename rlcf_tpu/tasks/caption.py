@@ -93,17 +93,30 @@ def caption_forward(params, ccfg: CaptionModelConfig, clip_emb, tokens, attentio
                        attention_mask=attention_mask)
 
 
-def caption_ce(logits, tokens, prefix_length: int, ignore_id: int = 0, per_sample: bool = False):
+def caption_ce(logits, tokens, prefix_length: int, ignore_id: int = 0, per_sample: bool = False,
+               valid_mask=None):
     """CE over ``logits[:, P-1:-1]`` vs tokens, ignore_index=0
-    (`caption/train.py:46-47`, `capdec_tta.py:120-123`)."""
+    (`caption/train.py:46-47`, `capdec_tta.py:120-123`).
+
+    per_sample (the TTA path): the reference tokenizes each image's K
+    captions padded only to their longest (``padding=True``) and takes
+    ``all_loss.mean(dim=-1)`` — so pad-id-1 targets inside that length DO
+    contribute CE (ignore_index is 0, OPT pads with 1) and the divisor is the
+    batch-longest length. Here captions arrive padded to a fixed static
+    length; ``valid_mask`` (the per-caption token mask) recovers the
+    reference semantics exactly: positions past the group's longest caption
+    are dropped and the mean divides by that longest length.
+    """
     sl = logits[:, prefix_length - 1 : -1]
     logp = jax.nn.log_softmax(sl.astype(jnp.float32), axis=-1)
     ce = -jnp.take_along_axis(logp, tokens[..., None], axis=-1)[..., 0]  # [B, T]
     keep = (tokens != ignore_id).astype(jnp.float32)
     if per_sample:
-        # reference TTA divides by the full token count (reduction='none'
-        # then .mean(-1) over ALL positions; pads beyond ignore_id count)
-        return jnp.sum(ce * keep, axis=-1) / ce.shape[-1]
+        if valid_mask is None:
+            return jnp.sum(ce * keep, axis=-1) / ce.shape[-1]
+        l_eff = jnp.maximum(jnp.max(jnp.sum(valid_mask, axis=-1)), 1).astype(jnp.float32)
+        in_batch = (jnp.arange(tokens.shape[-1])[None, :] < l_eff).astype(jnp.float32)
+        return jnp.sum(ce * keep * in_batch, axis=-1) / l_eff
     return jnp.sum(ce * keep) / jnp.maximum(jnp.sum(keep), 1.0)
 
 
@@ -353,13 +366,16 @@ class CaptionTTA:
             (`capdec_tta.py:111-130`). opt_tokens [K, L]."""
             K = opt_tokens.shape[0]
             rep_emb = jnp.repeat(clip_emb[None], K, axis=0)
+            token_mask = attn_mask[:, ccfg.prefix_length :]
 
             def loss_fn(mp):
                 logits = O.forward(
                     opt_params, ccfg.opt, tokens=opt_tokens,
                     prefix_embeds=prefix_tokens(mp, ccfg, rep_emb), attention_mask=attn_mask,
                 )
-                per_caption = caption_ce(logits, opt_tokens, ccfg.prefix_length, per_sample=True)
+                per_caption = caption_ce(
+                    logits, opt_tokens, ccfg.prefix_length, per_sample=True, valid_mask=token_mask
+                )
                 return jnp.mean(rewards * per_caption)
 
             loss, grads = jax.value_and_grad(loss_fn)(mapper_params)
@@ -420,13 +436,16 @@ class CaptionTTA:
             def one(mp, st, emb, toks, mask, rw):
                 K = toks.shape[0]
                 rep = jnp.repeat(emb[None], K, axis=0)
+                token_mask = mask[:, ccfg.prefix_length :]
 
                 def loss_fn(m):
                     logits = O.forward(
                         opt_params, ccfg.opt, tokens=toks,
                         prefix_embeds=prefix_tokens(m, ccfg, rep), attention_mask=mask,
                     )
-                    per_caption = caption_ce(logits, toks, ccfg.prefix_length, per_sample=True)
+                    per_caption = caption_ce(
+                        logits, toks, ccfg.prefix_length, per_sample=True, valid_mask=token_mask
+                    )
                     return jnp.mean(rw * per_caption)
 
                 loss, grads = jax.value_and_grad(loss_fn)(mp)

@@ -583,20 +583,27 @@ class CoCoOpTTAClassifier:
         )
         pt = self.prompt_state
         cfg = self.clip_cfg
-        scale = jnp.exp(self.clip_params["logit_scale"])
+        n_cls = pt.n_cls
+        # Prompt-template arrays derive from the token embedding (weights) —
+        # pass them as jit ARGUMENTS like PromptTTAClassifier does: closure
+        # capture would bake a [C, T, D] constant into the executable
+        # (multi-MB at 1000 classes; this env's compile service has crashed
+        # on baked-constant executables).
+        pt_args = {"fixed_embed": pt.fixed_embed, "ctx_map": pt.ctx_map, "eot_idx": pt.eot_idx}
 
-        def full_episode(cparams, meta_params, views):
+        def full_episode(cparams, meta_params, pt_a, ctx_init_, views):
             views = maybe_normalize_u8(views)
+            scale = jnp.exp(cparams["logit_scale"]).astype(jnp.float32)
 
             def policy_logits(ctx, cache, idx):
-                prompts = P.splice_prompts(ctx, pt)
-                tf = clip_model.encode_text_embeds(cparams, cfg, prompts, pt.eot_idx)
+                prompts = P.splice_arrays(ctx, pt_a["fixed_embed"], pt_a["ctx_map"])
+                tf = clip_model.encode_text_embeds(cparams, cfg, prompts, pt_a["eot_idx"])
                 tf = clip_model.normalize(tf.astype(jnp.float32))
                 return scale * jnp.dot(cache["img_feats"][idx], tf.T, preferred_element_type=jnp.float32)
 
             episode = make_tta_episode(
                 policy_logits,
-                reward_image_sim=lambda v: jnp.zeros((1, pt.n_cls)),  # unused (tpt loss)
+                reward_image_sim=lambda v: jnp.zeros((1, n_cls)),  # unused (tpt loss)
                 score_samples=None,
                 ecfg=self.ecfg,
             )
@@ -604,12 +611,15 @@ class CoCoOpTTAClassifier:
             img_feats = clip_model.normalize(img.astype(jnp.float32))
             # instance-conditioned ctx from the base view's features
             bias = meta_net_forward(meta_params, img_feats[:1].astype(jnp.float32))  # [1, D]
-            ctx0 = pt.ctx0 + bias[0][None, :].astype(pt.ctx0.dtype)
+            ctx0 = ctx_init_ + bias[0][None, :].astype(ctx_init_.dtype)
             return episode(ctx0, {"img_feats": img_feats}, views)
 
-        self._episode_batched = jax.jit(jax.vmap(full_episode, in_axes=(None, None, 0)))
+        self._pt_args = pt_args
+        self._episode_batched = jax.jit(jax.vmap(full_episode, in_axes=(None, None, None, None, 0)))
         return self
 
     def adapt(self, views_batch):
-        logits, aux = self._episode_batched(self.clip_params, self.meta_net, jnp.asarray(views_batch))
+        logits, aux = self._episode_batched(
+            self.clip_params, self.meta_net, self._pt_args, self.prompt_state.ctx0, jnp.asarray(views_batch)
+        )
         return logits[:, 0], aux

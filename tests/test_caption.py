@@ -231,6 +231,51 @@ def test_caption_ce_matches_torch_reference_formula(tiny_caption):
     assert abs(mine - ref) < 1e-5
 
 
+def test_caption_ce_unequal_lengths_matches_torch(tiny_caption):
+    """Reference-exact per-caption CE when captions have UNEQUAL lengths: the
+    reference pads K captions only to their longest (HF ``padding=True``, pad
+    id 1, ignore_index=0) and means over that length; our fixed static pad
+    must reproduce it via valid_mask (the round-1 version divided by the full
+    static length and counted pad-1 CE past the group's longest caption)."""
+    import torch
+    import torch.nn.functional as F
+
+    params, ccfg = tiny_caption
+    P = ccfg.prefix_length
+    rng = np.random.default_rng(1)
+    K, V = 3, ccfg.opt.vocab_size
+    PAD = 1
+    lengths = [3, 6, 4]  # unequal; longest = 6
+    L_ref = max(lengths)
+    L_fixed = 10  # our static pad length (> L_ref)
+
+    # reference layout: padded to longest with pad id 1
+    tokens_ref = np.full((K, L_ref), PAD, np.int64)
+    for i, l in enumerate(lengths):
+        tokens_ref[i, :l] = rng.integers(3, V, size=(l,))
+    logits_ref = rng.normal(size=(K, P + L_ref, V)).astype(np.float32)
+    rewards = rng.normal(size=(K,)).astype(np.float32)
+
+    t_logits = torch.from_numpy(logits_ref)[:, P - 1 : -1]
+    all_loss = F.cross_entropy(
+        t_logits.reshape(-1, V), torch.from_numpy(tokens_ref).flatten(), ignore_index=0, reduction="none"
+    ).reshape(K, -1)
+    ref = torch.mean(torch.from_numpy(rewards) * all_loss.mean(dim=-1)).item()
+
+    # our layout: same logits/tokens padded out to L_fixed, mask from lengths
+    tokens_fix = np.full((K, L_fixed), PAD, np.int32)
+    tokens_fix[:, :L_ref] = tokens_ref
+    logits_fix = rng.normal(size=(K, P + L_fixed, V)).astype(np.float32)
+    logits_fix[:, : P + L_ref - 1] = logits_ref[:, : P + L_ref - 1]
+    mask = (np.arange(L_fixed)[None, :] < np.asarray(lengths)[:, None]).astype(np.int32)
+
+    per_caption = Cap.caption_ce(
+        jnp.asarray(logits_fix), jnp.asarray(tokens_fix), P, per_sample=True, valid_mask=jnp.asarray(mask)
+    )
+    mine = float(jnp.mean(jnp.asarray(rewards) * per_caption))
+    assert abs(mine - ref) < 1e-5
+
+
 def test_caption_tta_batched_matches_single(tiny_caption, tiny_gpt2_tok):
     """adapt_batch == adapt_image per element (beam path is deterministic)."""
     params, ccfg = tiny_caption

@@ -63,9 +63,38 @@ def test_meteor_runs():
     assert meteor(REFS, PERFECT) > m
 
 
+def test_meteor_mode_explicit_and_warns():
+    """Degraded METEOR must be loud: mode reported, RuntimeWarning once."""
+    import warnings
+
+    from rlcf_tpu.metrics import caption_metrics as cm
+
+    mode = cm.meteor_mode()
+    assert mode in ("nltk_wordnet", "exact+stem", "exact_approx")
+    if mode == "nltk_wordnet":
+        pytest.skip("wordnet installed: no degradation to test")
+    cm._METEOR_WARNED = False
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cm.meteor(REFS, CANDS)
+        assert any(issubclass(x.category, RuntimeWarning) and "METEOR degraded" in str(x.message) for x in w)
+
+
+def test_meteor_stem_stage_matches_inflections():
+    """exact+stem matches inflected forms that exact-only scores at zero."""
+    from rlcf_tpu.metrics import caption_metrics as cm
+
+    if cm.meteor_mode() == "exact_approx":
+        pytest.skip("nltk unavailable")
+    refs = [["the dog runs quickly"]]
+    cands = ["dogs running quick"]  # stems: dog/run/quick match, exact: none
+    assert cm.meteor(refs, cands) > 0.2
+    assert cm._meteor_exact(refs, cands) == 0.0
+
+
 def test_get_all_metrics_keys():
     out = get_all_metrics(REFS, CANDS)
-    assert set(out) == {"bleu", "meteor", "rouge", "cider"}
+    assert set(out) == {"bleu", "meteor", "meteor_mode", "rouge", "cider"}
     assert len(out["bleu"]) == 4
 
 

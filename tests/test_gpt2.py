@@ -167,6 +167,36 @@ def test_clipcap_top_p_matches_greedy(hf_pair):
     assert mine == out
 
 
+def test_clipcap_top_p_stop_token_included(hf_pair):
+    """The step that emits the stop token must be counted: the reference
+    generate2 appends the stop token before breaking, so the decoded caption
+    includes it (round-1 bug: [1,2,stop] decoded as [1,2])."""
+    model, params, cfg = hf_pair
+    rng = np.random.default_rng(5)
+    # find a prefix whose unconstrained greedy sequence has a token first
+    # appearing at position >= 1 (greedy often degenerates to repetition)
+    for _ in range(20):
+        prefix = rng.normal(size=(2, cfg.n_embd)).astype(np.float32) * 0.5
+        toks_free, len_free = G.clipcap_top_p_generate(
+            params, cfg, jnp.asarray(prefix), stop_token=cfg.vocab_size + 1, entry_length=8,
+            alt_stop_token=cfg.vocab_size + 2,
+        )
+        free = list(np.asarray(toks_free)[: int(len_free)])
+        assert len(free) == 8
+        j = next((i for i in range(1, 8) if free[i] not in free[:i]), None)
+        if j is not None:
+            break
+    assert j is not None, "no greedy sequence with a fresh token found"
+    stop = free[j]
+    toks, length = G.clipcap_top_p_generate(
+        params, cfg, jnp.asarray(prefix), stop_token=stop, entry_length=8,
+        alt_stop_token=cfg.vocab_size + 2,
+    )
+    got = list(np.asarray(toks)[: int(length)])
+    assert got == free[: j + 1]  # includes the stop token itself
+    assert got[-1] == stop
+
+
 def test_caption_pipeline_gpt2_backend(hf_pair):
     """CaptionModelConfig(llm='gpt2'): init/forward/trainer dispatch and the
     legacy clipcap_predict path produce finite output end to end."""
