@@ -32,6 +32,15 @@ def get_args(argv=None):
     p.add_argument("--cocoop", action="store_true", help="CoCoOp image-conditioned prompts (entropy TTA)")
     p.add_argument("--resume", action="store_true", help="continue from the progress journal in --output")
     p.add_argument(
+        "--bongard_split", default="unseen_obj_unseen_act",
+        help="Bongard-HOI split name (used when 'bongard' is in --test_sets)",
+    )
+    p.add_argument(
+        "--learned_cls", type=int, default=1,
+        help="Bongard mode: 1 = learnable class token with ['X','X'] names "
+        "(`custom_clip.py:350-355`), 0 = fixed ['True','False'] prompts",
+    )
+    p.add_argument(
         "--viewgen", default="device", choices=["device", "native"],
         help="AugMix backend: 'device' = jitted TPU pipeline (default); 'native' = "
         "C++ host pipeline emitting uint8 (normalized on device) — overlaps with "
@@ -112,6 +121,14 @@ def main(argv=None):
     results = {}
     for set_id in args.test_sets.split("/"):
         t0 = time.time()
+        if set_id == "bongard":
+            # Few-shot Bongard-HOI episodes take a different driver shape
+            # (support CE + query scoring) — see `tasks/bongard.py`.
+            from ..tasks.bongard import run_bongard
+
+            results[set_id] = run_bongard(args, params, cfg, logger)
+            logger.text(logger.elapsed_line(f"dataset {set_id}"))
+            continue
         classnames = ["class_%d" % i for i in range(10)] if set_id == "synthetic" else get_classnames(set_id)
         clf.setup(classnames)
         dataset = build_dataset(set_id, args.data, mode=args.dataset_mode, corruption=args.corruption, level=args.level)

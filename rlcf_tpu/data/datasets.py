@@ -171,13 +171,23 @@ class BongardHOIDataset:
         return path
 
     def __getitem__(self, idx):
+        import random as _random
+
         task = self.tasks[idx]
+        # The reference shuffles each polarity with a fixed seed before the
+        # support/query split (`hoi_dataset.py:84-89`): deterministic, but the
+        # query is not simply the file-order last sample.
+        pos = list(task["pos_samples"])
+        neg = list(task["neg_samples"])
+        _random.seed(0)
+        _random.shuffle(pos)
+        _random.shuffle(neg)
         load = lambda rel: load_image(self.resolve(rel))
         return {
-            "pos_support": [load(p) for p in task["pos_samples"][:-1]],
-            "neg_support": [load(p) for p in task["neg_samples"][:-1]],
-            "pos_query": load(task["pos_samples"][-1]),
-            "neg_query": load(task["neg_samples"][-1]),
+            "pos_support": [load(p) for p in pos[:-1]],
+            "neg_support": [load(p) for p in neg[:-1]],
+            "pos_query": load(pos[-1]),
+            "neg_query": load(neg[-1]),
             "annotation": task["annotation"],
         }
 
