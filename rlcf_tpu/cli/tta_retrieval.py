@@ -26,6 +26,21 @@ def get_args(argv=None):
     common.add_reward_args(p)
     common.add_tta_args(p)
     p.add_argument("--retrieval_task", default="both", choices=["image2text", "text2image", "both"])
+    p.add_argument(
+        "--loss", default="rlcf", choices=["rlcf", "kd", "dkd", "atkd"],
+        help="rlcf = REINFORCE (`clip_ret_policy.py`); kd/dkd/atkd distill the "
+        "frozen reward sims (`clip_ret_kd.py:37-93`)",
+    )
+    p.add_argument(
+        "--sample_k_i2t", type=int, default=None,
+        help="REINFORCE samples for image->text episodes (reference default 16, "
+        "`tta_coco_ret.sh`); falls back to --sample_k",
+    )
+    p.add_argument(
+        "--sample_k_t2i", type=int, default=None,
+        help="REINFORCE samples for text->image episodes (reference default 12); "
+        "falls back to --sample_k",
+    )
     p.add_argument("--annotations", default=None, help="karpathy-format annotation json")
     p.add_argument("--vis_root", default="", help="image root joined with annotation paths")
     p.add_argument("--synthetic", action="store_true", help="tiny fabricated gallery (no data needed)")
@@ -66,9 +81,11 @@ def main(argv=None):
     save_hparams(args.output, vars(args), name="hparams_retrieval.json")
     params, cfg = common.load_policy(args)
     reward = common.build_reward(args)
+    kd_map = {"KD": "kd", "DKD": "dkd", "ATKD": "atkd"}
+    loss = kd_map[args.kd_loss] if args.loss in ("kd", "dkd", "atkd") else args.loss
     ecfg = EpisodeConfig(
         tta_steps=args.tta_steps, lr=args.lr, weight_decay=args.weight_decay,
-        sample_k=args.sample_k, adam_eps=1e-6,
+        sample_k=args.sample_k, adam_eps=1e-6, loss=loss,
     )
 
     if args.synthetic:
@@ -96,12 +113,16 @@ def main(argv=None):
         update_w=args.update_w, momentum=args.tta_momentum,
     )
 
+    import dataclasses as _dc
+
     if args.retrieval_task in ("image2text", "both"):
-        tta = RetrievalTTA(params, cfg, reward, ecfg, direction="i2t", **momentum_kw).set_text_gallery(gallery.texts)
+        ecfg_i2t = _dc.replace(ecfg, sample_k=args.sample_k_i2t or args.sample_k)
+        tta = RetrievalTTA(params, cfg, reward, ecfg_i2t, direction="i2t", **momentum_kw).set_text_gallery(gallery.texts)
         queries = iter(images) if args.synthetic else (preprocess_pil(p, args.resolution) for p in gallery.image_paths)
         scores_i2t = tta.run(queries, n_img, n_txt, group_size=args.group_size)
     if args.retrieval_task in ("text2image", "both"):
-        tta = RetrievalTTA(params, cfg, reward, ecfg, direction="t2i", **momentum_kw)
+        ecfg_t2i = _dc.replace(ecfg, sample_k=args.sample_k_t2i or args.sample_k)
+        tta = RetrievalTTA(params, cfg, reward, ecfg_t2i, direction="t2i", **momentum_kw)
         tta.set_image_gallery(image_batches(), image_batches())
         tokens = tokenize(gallery.texts, truncate=True)
         scores_t2i = tta.run(iter(tokens), n_txt, n_img, group_size=args.group_size)
