@@ -23,6 +23,7 @@ def get_args(argv=None):
     p.add_argument("--references_json", default=None)
     p.add_argument("--compute_other_ref_metrics", type=int, default=1)
     p.add_argument("--save_per_instance", default=None)
+    p.add_argument("--out_json", default=None, help="write the metric summary as json")
     p.add_argument("--arch", default="ViT-B/32")
     p.add_argument("--clip_checkpoint", default=None)
     p.add_argument("--resolution", type=int, default=224)
@@ -86,6 +87,11 @@ def main(argv=None):
     if args.save_per_instance:
         with open(args.save_per_instance, "w") as fh:
             json.dump(out["per_instance"], fh)
+    if args.out_json:
+        summary = {k: v for k, v in out.items() if k != "per_instance"}
+        summary["n_images"] = len(image_ids)
+        with open(args.out_json, "w") as fh:
+            json.dump(summary, fh, indent=2)
     return out
 
 
