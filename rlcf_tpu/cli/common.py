@@ -19,6 +19,13 @@ def add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--clip_checkpoint", default=None, help="OpenAI CLIP .pt for the policy")
     p.add_argument("--resolution", default=224, type=int)
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument(
+        "--verify_checkpoint", type=int, default=1,
+        help="check --clip_checkpoint's SHA256 against the published OpenAI "
+        "digest for --arch before loading (`TPT/clip/clip.py:53-70`); "
+        "fine-tuned checkpoints skip the check automatically (unknown digest "
+        "is only an error when the file claims to be a stock arch). 0 = off",
+    )
 
 
 def add_reward_args(p: argparse.ArgumentParser):
@@ -76,6 +83,24 @@ def load_policy(args):
 
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     if args.clip_checkpoint and os.path.exists(args.clip_checkpoint):
+        from ..models.convert import CLIP_CHECKPOINT_SHA256, check_checkpoint_digest
+
+        # Integrity gate (`TPT/clip/clip.py:53-70`): a file matching a
+        # *different* stock release fails loudly (wrong download); an unknown
+        # digest is allowed with a note (fine-tuned/converted checkpoints).
+        if getattr(args, "verify_checkpoint", 1) and args.arch in CLIP_CHECKPOINT_SHA256:
+            status, detail = check_checkpoint_digest(args.clip_checkpoint, args.arch)
+            if status == "wrong-arch":
+                raise RuntimeError(
+                    f"{args.clip_checkpoint} is the stock OpenAI {detail} checkpoint, "
+                    f"not {args.arch}; pass the right file or --verify_checkpoint 0"
+                )
+            if status == "unknown":
+                print(
+                    f"NOTE: {args.clip_checkpoint} is not a stock OpenAI release "
+                    f"(sha256 {detail[:12]}…); loading as a fine-tuned/converted {args.arch}",
+                    file=sys.stderr,
+                )
         params, cfg = load_clip_checkpoint(args.clip_checkpoint, dtype=dtype)
     else:
         print(

@@ -24,8 +24,8 @@ def get_args(argv=None):
     common.add_model_args(p)
     p.add_argument("--annotations", required=True, help="karpathy-format json")
     p.add_argument("--images_root", default=None, help="if set, also extract image embeddings")
-    p.add_argument("--opt_vocab", required=True)
-    p.add_argument("--opt_merges", required=True)
+    p.add_argument("--opt_vocab", default=None, help="vocab.json (default: auto-discovered)")
+    p.add_argument("--opt_merges", default=None, help="merges.txt (default: auto-discovered)")
     p.add_argument("--prefix_length", type=int, default=40)
     p.add_argument("--token_len", type=int, default=40)
     p.add_argument("--out", required=True)
@@ -39,7 +39,7 @@ def main(argv=None):
     common.enable_cache()
     from ..data.transforms import preprocess_pil
     from ..tasks.caption import extract_clip_features
-    from ..tokenizer_gpt2 import Gpt2Tokenizer
+    from ..tokenizer_gpt2 import load_gpt2_tokenizer
 
     params, cfg = common.load_policy(args)
     with open(args.annotations) as fh:
@@ -70,7 +70,7 @@ def main(argv=None):
         per_caption_img = np.stack([img_out["image_embeddings"][image_index[p]] for p in image_for_caption])
         feats["image_embeddings"] = per_caption_img
 
-    tok = Gpt2Tokenizer(args.opt_vocab, args.opt_merges)
+    tok = load_gpt2_tokenizer(args.opt_vocab, args.opt_merges)
     tokens, tmask = tok.batch_encode(captions, pad_to=args.token_len)
     mask = np.concatenate([np.ones((tokens.shape[0], args.prefix_length), np.int32), tmask], axis=1)
     np.savez(

@@ -109,8 +109,9 @@ def main(argv=None):
             args.mapping_type, clip_dim=clip_cfg.embed_dim, llm_dim=ocfg.hidden,
             prefix_length=args.prefix_length, clip_length=args.clip_length,
         )
-        assert args.opt_vocab and args.opt_merges, "provide --opt_vocab/--opt_merges for the OPT tokenizer"
-        tok = Gpt2Tokenizer(args.opt_vocab, args.opt_merges)
+        from ..tokenizer_gpt2 import load_gpt2_tokenizer
+
+        tok = load_gpt2_tokenizer(args.opt_vocab, args.opt_merges)
         max_new = 50
     ccfg = Cap.CaptionModelConfig(mapper=mcfg, opt=ocfg, normalize_prefix=bool(args.normalize_prefix))
     params = Cap.init_caption_params(jax.random.PRNGKey(args.seed), ccfg)

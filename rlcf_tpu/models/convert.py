@@ -194,6 +194,31 @@ def verify_checkpoint_sha256(path: str, arch: Optional[str] = None) -> bool:
     return digest in CLIP_CHECKPOINT_SHA256.values()
 
 
+def check_checkpoint_digest(path: str, arch: str):
+    """Classify a checkpoint file's SHA256 for ``arch``.
+
+    Returns (status, digest) with status one of:
+      - ``"ok"``: matches the published digest for ``arch``;
+      - ``"wrong-arch"``: matches a *different* stock release (the user
+        grabbed the wrong file — loading it would silently build the wrong
+        tower);
+      - ``"unknown"``: not a stock digest (fine-tuned/converted file; no
+        integrity claim can be made).
+
+    Parity target: the reference re-verifies cached downloads and refuses
+    mismatches (`TPT/clip/clip.py:53-70`).
+    """
+    import hashlib
+
+    digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
+    if digest == CLIP_CHECKPOINT_SHA256.get(arch):
+        return "ok", digest
+    for other, d in CLIP_CHECKPOINT_SHA256.items():
+        if digest == d:
+            return "wrong-arch", other
+    return "unknown", digest
+
+
 def load_clip_checkpoint(path: str, dtype=np.float32, verify_arch: Optional[str] = None):
     """Load an OpenAI CLIP .pt checkpoint into (params, config).
 

@@ -12,8 +12,10 @@ Reference usage: `caption/capdec_tta.py:111-119` (padding + attention mask),
 from __future__ import annotations
 
 import functools
+import glob
 import json
-from typing import Iterable, List, Sequence, Tuple
+import os
+from typing import Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 import regex as re
@@ -38,6 +40,55 @@ def _byte_to_unicode():
             mapped.append(256 + offset)
             offset += 1
     return {b: chr(c) for b, c in zip(printable, mapped)}
+
+
+def find_tokenizer_assets() -> Optional[Tuple[str, str]]:
+    """Locate GPT-2/OPT ``vocab.json`` + ``merges.txt`` without flags.
+
+    The vocabulary is learned data (~1 MB) that cannot be synthesized, so it
+    is discovered rather than bundled. Search order:
+
+    1. ``RLCF_GPT2_VOCAB`` / ``RLCF_GPT2_MERGES`` environment variables,
+    2. ``rlcf_tpu/assets/gpt2/`` (populated by
+       ``tools/fetch_tokenizer_assets.py`` in a connected environment),
+    3. the HuggingFace hub cache (``HF_HOME``/``~/.cache/huggingface``) for
+       any model snapshot carrying both files (opt-125m, gpt2, ...).
+
+    Returns (vocab_path, merges_path) or None.
+    """
+    v, m = os.environ.get("RLCF_GPT2_VOCAB"), os.environ.get("RLCF_GPT2_MERGES")
+    if v and m and os.path.isfile(v) and os.path.isfile(m):
+        return v, m
+
+    bundled = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets", "gpt2")
+    if os.path.isfile(os.path.join(bundled, "vocab.json")) and os.path.isfile(
+        os.path.join(bundled, "merges.txt")
+    ):
+        return os.path.join(bundled, "vocab.json"), os.path.join(bundled, "merges.txt")
+
+    hf_home = os.environ.get("HF_HOME", os.path.expanduser("~/.cache/huggingface"))
+    for vocab in sorted(glob.glob(os.path.join(hf_home, "hub", "models--*", "snapshots", "*", "vocab.json"))):
+        merges = os.path.join(os.path.dirname(vocab), "merges.txt")
+        if os.path.isfile(merges):
+            return vocab, merges
+    return None
+
+
+def load_gpt2_tokenizer(
+    vocab_path: Optional[str] = None, merges_path: Optional[str] = None, **kwargs
+) -> "Gpt2Tokenizer":
+    """Build a tokenizer from explicit paths or auto-discovered assets."""
+    if not (vocab_path and merges_path):
+        found = find_tokenizer_assets()
+        if found is None:
+            raise FileNotFoundError(
+                "GPT-2/OPT tokenizer assets not found. Pass --opt_vocab/--opt_merges, "
+                "set RLCF_GPT2_VOCAB/RLCF_GPT2_MERGES, or (in a connected "
+                "environment) run `python tools/fetch_tokenizer_assets.py` once "
+                "to populate rlcf_tpu/assets/gpt2/."
+            )
+        vocab_path, merges_path = found
+    return Gpt2Tokenizer(vocab_path, merges_path, **kwargs)
 
 
 class Gpt2Tokenizer:

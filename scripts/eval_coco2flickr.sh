@@ -7,7 +7,7 @@ ckpt=${3:?supervised mapper checkpoint}
 gt=${4:-}
 python -m rlcf_tpu.cli.tta_caption --annotations "$ann" --images_root "$imgs" \
     --checkpoint "$ckpt" --opt_checkpoint "${OPT_125M:-}" \
-    --opt_vocab "${OPT_VOCAB:?}" --opt_merges "${OPT_MERGES:?}" \
+    ${OPT_VOCAB:+--opt_vocab "$OPT_VOCAB"} ${OPT_MERGES:+--opt_merges "$OPT_MERGES"} \
     --clip_model_type ViT-B/16 --clip_checkpoint "${CLIP_VIT_B16:-}" \
     --reward_arch ViT-B/16 --reward_checkpoint "${CLIP_VIT_B16:-}" \
     --normalize_prefix 1 --tta_steps 0 \

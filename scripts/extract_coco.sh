@@ -7,5 +7,5 @@ out=${3:-exp/COCO_train_set_image_text_vitb16.npz}
 python -m rlcf_tpu.cli.extract_features --annotations "$ann" \
     ${imgs:+--images_root "$imgs"} \
     --arch ViT-B/16 --clip_checkpoint "${CLIP_VIT_B16:-}" \
-    --opt_vocab "${OPT_VOCAB:?}" --opt_merges "${OPT_MERGES:?}" \
+    ${OPT_VOCAB:+--opt_vocab "$OPT_VOCAB"} ${OPT_MERGES:+--opt_merges "$OPT_MERGES"} \
     --prefix_length 40 --token_len 40 --out "$out"
