@@ -123,9 +123,15 @@ def _layer(x, p, cfg, mask_bias, kv=None):
 
 
 def _positions_from_mask(mask, offset):
-    """OPTLearnedPositionalEmbedding: cumsum(mask)*mask - 1 + offset."""
+    """OPTLearnedPositionalEmbedding: cumsum(mask)*mask - 1 + offset.
+
+    No clamp before the offset: HF gives PAD positions raw id -1, i.e.
+    embedding row ``offset - 1`` (= 1). Clamping -1 to 0 first would read row
+    ``offset`` instead and shift every pad position's hidden state — pad CE
+    terms count in the reference TTA loss, so this must match exactly.
+    """
     pos = jnp.cumsum(mask.astype(jnp.int32), axis=1) * mask.astype(jnp.int32) - 1
-    return jnp.maximum(pos, 0) + offset
+    return pos + offset
 
 
 def forward(params, cfg: OPTConfig, tokens=None, prefix_embeds=None, attention_mask=None):

@@ -296,9 +296,13 @@ class CaptionTTA:
         self.sample_k = sample_k
         self.max_new_tokens = max_new_tokens
         self.use_nucleus = use_nucleus
-        # re-tokenized captions must never truncate below what generation can
-        # emit (+BOS, + tokenization slack): the reference pads to longest.
-        self.token_pad_len = token_pad_len or (max_new_tokens + 4)
+        # Re-tokenized captions must never truncate below what generation can
+        # emit (the reference pads to longest, `capdec_tta.py:111`). Decoding
+        # can EXPAND token counts: an id whose bytes don't form valid UTF-8
+        # decodes to U+FFFD which re-encodes as 3 byte-tokens, so +4 slack is
+        # not enough — budget 4x generated length (+BOS +slack), and
+        # _decode_and_retokenize still warns if a caption would truncate.
+        self.token_pad_len = token_pad_len or (4 * max_new_tokens + 4)
         # reference uses AdamW eps=1e-6 (`capdec_tta.py:189`)
         self.opt = optax.adamw(lr, eps=1e-6, weight_decay=weight_decay)
         self.momentum_update = momentum_update
@@ -463,6 +467,16 @@ class CaptionTTA:
         """OPT ids [K, L] -> texts + (opt tokens+mask padded, clip tokens)."""
         texts = self.tok.batch_decode(seqs_np, stop_id=self.ccfg.opt.eos_newline_id)
         opt_tokens, opt_mask = self.tok.batch_encode(texts, pad_to=self.token_pad_len)
+        longest = max((len(self.tok.encode(t)) for t in texts), default=0)
+        if longest > self.token_pad_len:
+            import warnings
+
+            warnings.warn(
+                f"re-tokenized caption length {longest} exceeds token_pad_len "
+                f"{self.token_pad_len}; CE is computed on a truncated caption "
+                "(reference pads to longest) — raise token_pad_len",
+                RuntimeWarning,
+            )
         clip_tokens = clip_tokenize([t if t else " " for t in texts], truncate=True)
         return texts, opt_tokens, opt_mask, clip_tokens
 
