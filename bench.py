@@ -95,27 +95,95 @@ def main():
     def make_views_device(seed):
         return gen(jnp.asarray(imgs), jax.random.split(jax.random.PRNGKey(seed), group))
 
-    if backend == "native":
-        # uint8 views: 4x less host->device traffic (the tunnel's bandwidth
-        # varies wildly); the prepare jit normalizes on device.
+    if backend == "native" and n_devices > 1:
+        # Multi-chip dp shards rank-5 view batches; keep the NHWC u8 path there.
         from rlcf_tpu.data.native import generate_views_native_u8
 
         def make_views_host(seed):
             return generate_views_native_u8(imgs, n_views=n_views, resolution=224, seed=seed)
 
+    elif backend == "native":
+        # Patch-major u8 tokens: views ship pre-patchified for both towers
+        # ([., p^2*3]-minor layouts ride the fast transfer path and feed the
+        # patch-embed matmul directly; the [., 3]-minor image layout tile-pads
+        # 42x costing ~0.8s/group in transfer or on-device relayout).
+        from rlcf_tpu.data.native import generate_views_native_patch_u8
+
+        p_pol = pcfg.vision_patch_size
+
+        def make_views_host(seed):
+            # policy tokens only: the reward's few selected views are
+            # depatchified on device (S << B), halving the host emit cost
+            return generate_views_native_patch_u8(
+                imgs, n_views=n_views, p_policy=p_pol, resolution=224, seed=seed
+            )
+
     else:
         make_views_host = None
 
-    # compile / warm up both paths
+    def run_group(v):
+        if isinstance(v, tuple):  # patch-major token pair
+            return clf.adapt_tokens(v[0], v[1])
+        if not isinstance(v, tuple) and getattr(v, "ndim", 5) == 4:  # policy tokens
+            return clf.adapt_tokens(v)
+        return clf.adapt(shard(v))
+
+    # compile / warm up both paths; time a full device-generated group so the
+    # hybrid loop knows what a fallback actually costs on this platform
     t0 = time.time()
     views = make_views_device(0)
     logits, _ = clf.adapt(views)
     np.asarray(logits)
+    t1 = time.time()
+    logits, _ = clf.adapt(shard(make_views_device(1)))
+    np.asarray(logits)
+    t_dev_group = time.time() - t1
     if make_views_host is not None:
         views = make_views_host(0)
-        logits, _ = clf.adapt(views)
+        logits, _ = run_group(views)
         np.asarray(logits)
-    print(f"# compile+warmup {time.time()-t0:.0f}s", file=sys.stderr)
+    print(f"# compile+warmup {time.time()-t0:.0f}s (device group: {t_dev_group:.1f}s)", file=sys.stderr)
+
+    # Episode-only latency + MFU on device-resident views (the compute-path
+    # number the end-to-end figure should be read against; XLA's own FLOP
+    # count via cost_analysis, v5e bf16 peak 197 TF/s).
+    dviews = jnp.asarray(make_views_device(2))
+    jax.block_until_ready(dviews)
+    ep_times = []
+    for _ in range(5):
+        te = time.time()
+        lg, _ = clf.adapt(dviews)
+        np.asarray(lg)
+        ep_times.append(time.time() - te)
+    episode_s = float(np.median(ep_times))
+
+    # Analytic FLOP count (XLA's cost_analysis() under-reports convs/dots on
+    # this backend): standard transformer accounting, 2 FLOPs per MAC,
+    # backward = 2x forward.
+    def vit_flops(width, layers, tokens, patch_dim, embed):
+        per_layer = 24 * tokens * width * width + 4 * tokens * tokens * width
+        return layers * per_layer + 2 * tokens * patch_dim * width + 2 * width * embed
+
+    def text_flops(cfg_, n_tokens_total):
+        return cfg_.text_layers * 24 * n_tokens_total * cfg_.text_width**2
+
+    n_keep = max(1, int(n_views * ecfg.selection_p))
+    t_pol = (224 // pcfg.vision_patch_size) ** 2 + 1
+    t_rew = (rcfg.image_resolution // rcfg.vision_patch_size) ** 2 + 1
+    n_cls, t_txt = clf.prompt_state.fixed_embed.shape[:2]
+    f_policy = n_views * vit_flops(pcfg.vision_width, pcfg.vision_layers, t_pol,
+                                   pcfg.vision_patch_size**2 * 3, pcfg.embed_dim)
+    f_reward = n_keep * vit_flops(rcfg.vision_width, rcfg.vision_layers, t_rew,
+                                  rcfg.vision_patch_size**2 * 3, rcfg.embed_dim)
+    # per TTA step: text fwd+bwd (bwd ~ 2x fwd); +1 final fwd
+    f_text = (3 * ecfg.tta_steps + 1) * text_flops(pcfg, n_cls * t_txt)
+    flops_group = group * (f_policy + f_reward + f_text)
+    mfu = flops_group / episode_s / (197e12)
+    print(
+        f"# episode-only: {episode_s/group*1e3:.1f} ms/img, "
+        f"{flops_group/group/1e12:.2f} TFLOP/img, MFU {100*mfu:.1f}%",
+        file=sys.stderr,
+    )
 
     # Hybrid pipeline: a host thread produces view groups (C++ AugMix; the
     # ctypes call releases the GIL) while the consumer runs episodes. The mix
@@ -136,15 +204,17 @@ def main():
             q.put(None)
 
         threading.Thread(target=producer, daemon=True).start()
-        # Grace before falling back to an (expensive, ~seconds) device-
-        # generated group adapts to the observed host production rate: a fast
-        # host never triggers the fallback, a stalled host hands the gap to
-        # the device.
+        # Grace before falling back to a device-generated group adapts to the
+        # observed host production rate AND the measured device-group cost: a
+        # fallback only pays when the host has stalled for longer than the
+        # device would take to produce+run the whole group itself (on this
+        # platform's vector-op-slow device viewgen that is ~seconds, so the
+        # fallback is a genuine emergency path, not a filler).
         finished = False
         host_gap = None
         last_host_t = time.time()
         while not finished:
-            grace = 1.0 if host_gap is None else min(5.0, max(0.3, 2.0 * host_gap))
+            grace = max(t_dev_group, 1.0 if host_gap is None else 2.0 * host_gap)
             try:
                 v = q.get(timeout=grace)
             except queue.Empty:
@@ -162,7 +232,7 @@ def main():
             gap = now - last_host_t
             host_gap = gap if host_gap is None else 0.7 * host_gap + 0.3 * gap
             last_host_t = now
-            logits, _ = clf.adapt(shard(v))
+            logits, _ = run_group(v)
             done += group
             host_groups += 1
     else:
@@ -186,6 +256,11 @@ def main():
                 "value": round(img_per_sec, 3),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 2),
+                "episode_ms_per_image": round(episode_s / group * 1e3, 1),
+                "episode_tflop_per_image": round(flops_group / group / 1e12, 2),
+                "episode_mfu_pct_v5e_bf16": round(100 * mfu, 1),
+                "baseline_note": "1.5 img/s is an ESTIMATED A100 reference throughput "
+                "(not published/measured; BASELINE.md TBD) — vs_baseline carries that uncertainty",
             }
         )
     )

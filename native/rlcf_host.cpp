@@ -62,67 +62,78 @@ void resize_box(const ImageU8& src, ImageU8& dst, float bx0, float by0, float bx
   const float inv_sx = 1.0f / std::max(1.0f, scale_x);
   const float inv_sy = 1.0f / std::max(1.0f, scale_y);
 
-  // horizontal pass into a float intermediate
-  std::vector<float> tmp(static_cast<size_t>(src.h) * out_w * 3, 0.0f);
-  std::vector<float> weights;
-  for (int ox = 0; ox < out_w; ++ox) {
-    const float center = bx0 + (ox + 0.5f) * scale_x;
-    int x_min = std::max(0, static_cast<int>(std::floor(center - support_x)));
-    int x_max = std::min(src.w - 1, static_cast<int>(std::ceil(center + support_x)));
-    weights.clear();
-    float total = 0.0f;
-    for (int x = x_min; x <= x_max; ++x) {
-      float w = (kernel_radius == 1)
-                    ? std::max(0.0f, 1.0f - std::fabs((x + 0.5f - center) * inv_sx))
-                    : cubic_weight((x + 0.5f - center) * inv_sx);
-      weights.push_back(w);
-      total += w;
+  // Precompute per-output-coordinate taps with NORMALIZED weights (folds the
+  // 1/total divide into the weights) for both axes.
+  auto build_taps = [&](float b0, float scale, float support, float inv_s, int src_n, int out_n,
+                        std::vector<int>& mins, std::vector<int>& counts, std::vector<float>& ws,
+                        int& max_count) {
+    mins.resize(out_n);
+    counts.resize(out_n);
+    max_count = 0;
+    for (int o = 0; o < out_n; ++o) {
+      const float center = b0 + (o + 0.5f) * scale;
+      const int lo = std::max(0, static_cast<int>(std::floor(center - support)));
+      const int hi = std::min(src_n - 1, static_cast<int>(std::ceil(center + support)));
+      mins[o] = lo;
+      counts[o] = hi - lo + 1;
+      max_count = std::max(max_count, counts[o]);
     }
-    if (total <= 0.0f) total = 1.0f;
-    for (int y = 0; y < src.h; ++y) {
-      float acc[3] = {0, 0, 0};
-      for (int x = x_min; x <= x_max; ++x) {
-        const float w = weights[x - x_min];
-        const uint8_t* p = src.px(y, x);
-        acc[0] += w * p[0];
-        acc[1] += w * p[1];
-        acc[2] += w * p[2];
+    ws.assign(static_cast<size_t>(out_n) * max_count, 0.0f);
+    for (int o = 0; o < out_n; ++o) {
+      const float center = b0 + (o + 0.5f) * scale;
+      float total = 0.0f;
+      float* row = ws.data() + static_cast<size_t>(o) * max_count;
+      for (int i = 0; i < counts[o]; ++i) {
+        const int s = mins[o] + i;
+        const float w = (kernel_radius == 1)
+                            ? std::max(0.0f, 1.0f - std::fabs((s + 0.5f - center) * inv_s))
+                            : cubic_weight((s + 0.5f - center) * inv_s);
+        row[i] = w;
+        total += w;
       }
-      float* t = tmp.data() + (static_cast<size_t>(y) * out_w + ox) * 3;
-      t[0] = acc[0] / total;
-      t[1] = acc[1] / total;
-      t[2] = acc[2] / total;
+      if (total <= 0.0f) total = 1.0f;
+      for (int i = 0; i < counts[o]; ++i) row[i] /= total;
+    }
+  };
+
+  std::vector<int> xmin, xcnt, ymin, ycnt;
+  std::vector<float> xw, yw;
+  int xmax_c = 0, ymax_c = 0;
+  build_taps(bx0, scale_x, support_x, inv_sx, src.w, out_w, xmin, xcnt, xw, xmax_c);
+  build_taps(by0, scale_y, support_y, inv_sy, src.h, out_h, ymin, ycnt, yw, ymax_c);
+
+  // horizontal pass, row-major (source row stays in cache)
+  std::vector<float> tmp(static_cast<size_t>(src.h) * out_w * 3, 0.0f);
+  for (int y = 0; y < src.h; ++y) {
+    const uint8_t* srow = src.px(y, 0);
+    float* trow = tmp.data() + static_cast<size_t>(y) * out_w * 3;
+    for (int ox = 0; ox < out_w; ++ox) {
+      const float* w = xw.data() + static_cast<size_t>(ox) * xmax_c;
+      const uint8_t* p = srow + 3 * xmin[ox];
+      float a0 = 0, a1 = 0, a2 = 0;
+      for (int i = 0; i < xcnt[ox]; ++i) {
+        a0 += w[i] * p[3 * i + 0];
+        a1 += w[i] * p[3 * i + 1];
+        a2 += w[i] * p[3 * i + 2];
+      }
+      trow[3 * ox + 0] = a0;
+      trow[3 * ox + 1] = a1;
+      trow[3 * ox + 2] = a2;
     }
   }
-  // vertical pass
+  // vertical pass as row SAXPYs over the float intermediate (vectorizes)
+  std::vector<float> accrow(static_cast<size_t>(out_w) * 3);
+  const int row_n = out_w * 3;
   for (int oy = 0; oy < out_h; ++oy) {
-    const float center = by0 + (oy + 0.5f) * scale_y;
-    int y_min = std::max(0, static_cast<int>(std::floor(center - support_y)));
-    int y_max = std::min(src.h - 1, static_cast<int>(std::ceil(center + support_y)));
-    weights.clear();
-    float total = 0.0f;
-    for (int y = y_min; y <= y_max; ++y) {
-      float w = (kernel_radius == 1)
-                    ? std::max(0.0f, 1.0f - std::fabs((y + 0.5f - center) * inv_sy))
-                    : cubic_weight((y + 0.5f - center) * inv_sy);
-      weights.push_back(w);
-      total += w;
+    std::fill(accrow.begin(), accrow.end(), 0.0f);
+    const float* w = yw.data() + static_cast<size_t>(oy) * ymax_c;
+    for (int i = 0; i < ycnt[oy]; ++i) {
+      const float wi = w[i];
+      const float* trow = tmp.data() + (static_cast<size_t>(ymin[oy]) + i) * out_w * 3;
+      for (int j = 0; j < row_n; ++j) accrow[j] += wi * trow[j];
     }
-    if (total <= 0.0f) total = 1.0f;
-    for (int ox = 0; ox < out_w; ++ox) {
-      float acc[3] = {0, 0, 0};
-      for (int y = y_min; y <= y_max; ++y) {
-        const float w = weights[y - y_min];
-        const float* t = tmp.data() + (static_cast<size_t>(y) * out_w + ox) * 3;
-        acc[0] += w * t[0];
-        acc[1] += w * t[1];
-        acc[2] += w * t[2];
-      }
-      uint8_t* d = dst.px(oy, ox);
-      d[0] = clamp_u8(acc[0] / total);
-      d[1] = clamp_u8(acc[1] / total);
-      d[2] = clamp_u8(acc[2] / total);
-    }
+    uint8_t* drow = dst.px(oy, 0);
+    for (int j = 0; j < row_n; ++j) drow[j] = clamp_u8(accrow[j]);
   }
 }
 
@@ -138,39 +149,52 @@ void affine_x_only(const ImageU8& src, ImageU8& dst, float b, float c) {
   dst.w = src.w;
   dst.data.assign(src.data.size(), 0);
   for (int y = 0; y < src.h; ++y) {
-    const float b_term = b * (y + 0.5f);  // exact: same product as the general path
+    // in_x = x + t with t CONSTANT along the row (a == 1): the whole row is
+    // one two-tap blend with fixed weights — a contiguous fixed-point (16.16)
+    // pass the compiler vectorizes, or a straight memcpy when t is integral.
+    const float t = b * (y + 0.5f) + c;
+    const int k = static_cast<int>(std::floor(t));
+    const float fr = t - k;
+    const int w1 = static_cast<int>(fr * 65536.0f + 0.5f);
+    const int w0 = 65536 - w1;
     const uint8_t* srow = src.px(y, 0);
     uint8_t* drow = dst.px(y, 0);
-    for (int x = 0; x < src.w; ++x) {
-      const float in_x = (x + 0.5f) + b_term + c - 0.5f;  // a==1: a*(x+0.5f) == x+0.5f
-      const int x0 = static_cast<int>(std::floor(in_x));
-      const float wx = in_x - x0;
-      const float w0 = 1.0f - wx;
-      uint8_t* o = drow + 3 * x;
-      if (x0 >= 0 && x0 + 1 < src.w) {  // interior: both taps in bounds
-        const uint8_t* p = srow + 3 * x0;
-        o[0] = clamp_u8(w0 * p[0] + wx * p[3] - 0.5f);
-        o[1] = clamp_u8(w0 * p[1] + wx * p[4] - 0.5f);
-        o[2] = clamp_u8(w0 * p[2] + wx * p[5] - 0.5f);
-        continue;
+    // interior: both taps x+k and x+k+1 in bounds
+    const int x_lo = std::max(0, -k);
+    const int x_hi = std::min(src.w - 1, src.w - 2 - k);  // inclusive
+    if (x_hi >= x_lo) {
+      const uint8_t* s = srow + 3 * (static_cast<size_t>(x_lo) + k);
+      uint8_t* d = drow + 3 * static_cast<size_t>(x_lo);
+      const int n = (x_hi - x_lo + 1) * 3;
+      if (w1 == 0) {
+        std::memcpy(d, s, n);
+      } else {
+        for (int i = 0; i < n; ++i)
+          d[i] = static_cast<uint8_t>((w0 * s[i] + w1 * s[i + 3]) >> 16);
       }
+    }
+    auto edge = [&](int x) {
+      const int x0 = x + k;
       float acc[3] = {0, 0, 0};
       if (x0 >= 0 && x0 < src.w) {
         const uint8_t* p = srow + 3 * x0;
-        acc[0] += w0 * p[0];
-        acc[1] += w0 * p[1];
-        acc[2] += w0 * p[2];
+        acc[0] += (1.0f - fr) * p[0];
+        acc[1] += (1.0f - fr) * p[1];
+        acc[2] += (1.0f - fr) * p[2];
       }
       if (x0 + 1 >= 0 && x0 + 1 < src.w) {
         const uint8_t* p = srow + 3 * (x0 + 1);
-        acc[0] += wx * p[0];
-        acc[1] += wx * p[1];
-        acc[2] += wx * p[2];
+        acc[0] += fr * p[0];
+        acc[1] += fr * p[1];
+        acc[2] += fr * p[2];
       }
+      uint8_t* o = drow + 3 * x;
       o[0] = clamp_u8(acc[0] - 0.5f);
       o[1] = clamp_u8(acc[1] - 0.5f);
       o[2] = clamp_u8(acc[2] - 0.5f);
-    }
+    };
+    for (int x = 0; x < std::min(x_lo, src.w); ++x) edge(x);
+    for (int x = std::max(x_lo, x_hi + 1); x < src.w; ++x) edge(x);
   }
 }
 
@@ -179,33 +203,82 @@ void affine_y_only(const ImageU8& src, ImageU8& dst, float d, float f) {
   dst.h = src.h;
   dst.w = src.w;
   dst.data.assign(src.data.size(), 0);
-  std::vector<float> d_term(src.w);
-  for (int x = 0; x < src.w; ++x) d_term[x] = d * (x + 0.5f);
+  if (d == 0.0f) {
+    // translate-y: in_y = y + f with f constant — each output row is a
+    // two-row blend with fixed weights (contiguous fixed-point pass), or a
+    // row memcpy when f is integral (AugMix translate uses integer offsets).
+    const int k = static_cast<int>(std::floor(f));
+    const float fr = f - k;
+    const int w1 = static_cast<int>(fr * 65536.0f + 0.5f);
+    const int w0 = 65536 - w1;
+    const int row_n = src.w * 3;
+    for (int y = 0; y < src.h; ++y) {
+      const int y0 = y + k;
+      uint8_t* drow = dst.px(y, 0);
+      const bool a_ok = y0 >= 0 && y0 < src.h;
+      const bool b_ok = y0 + 1 >= 0 && y0 + 1 < src.h;
+      if (a_ok && (w1 == 0 || b_ok)) {
+        const uint8_t* ra = src.px(y0, 0);
+        if (w1 == 0) {
+          std::memcpy(drow, ra, row_n);
+        } else {
+          const uint8_t* rb = src.px(y0 + 1, 0);
+          for (int i = 0; i < row_n; ++i)
+            drow[i] = static_cast<uint8_t>((w0 * ra[i] + w1 * rb[i]) >> 16);
+        }
+      } else {  // boundary rows: scalar with bounds handling
+        for (int i = 0; i < row_n; ++i) {
+          float acc = 0;
+          if (a_ok) acc += (1.0f - fr) * src.px(y0, 0)[i];
+          if (b_ok) acc += fr * src.px(y0 + 1, 0)[i];
+          drow[i] = clamp_u8(acc - 0.5f);
+        }
+      }
+    }
+    return;
+  }
+  // shear-y: per-column offset/weights are row-invariant — precompute them
+  // once (fixed point) instead of floor/frac per pixel.
+  std::vector<int> ky(src.w);
+  std::vector<int> w1v(src.w);
+  for (int x = 0; x < src.w; ++x) {
+    const float t = d * (x + 0.5f) + f;
+    const int k = static_cast<int>(std::floor(t));
+    ky[x] = k;
+    w1v[x] = static_cast<int>((t - k) * 65536.0f + 0.5f);
+  }
   for (int y = 0; y < src.h; ++y) {
-    const float y_term = y + 0.5f;  // e==1: e*(y+0.5f) == y+0.5f
     uint8_t* drow = dst.px(y, 0);
     for (int x = 0; x < src.w; ++x) {
-      const float in_y = d_term[x] + y_term + f - 0.5f;
-      const int y0 = static_cast<int>(std::floor(in_y));
-      const float wy = in_y - y0;
-      const float w0 = 1.0f - wy;
-      float acc[3] = {0, 0, 0};
-      if (y0 >= 0 && y0 < src.h) {
-        const uint8_t* p = src.px(y0, x);
-        acc[0] += w0 * p[0];
-        acc[1] += w0 * p[1];
-        acc[2] += w0 * p[2];
-      }
-      if (y0 + 1 >= 0 && y0 + 1 < src.h) {
-        const uint8_t* p = src.px(y0 + 1, x);
-        acc[0] += wy * p[0];
-        acc[1] += wy * p[1];
-        acc[2] += wy * p[2];
-      }
+      const int y0 = y + ky[x];
+      const int w1 = w1v[x];
+      const int w0 = 65536 - w1;
       uint8_t* o = drow + 3 * x;
-      o[0] = clamp_u8(acc[0] - 0.5f);
-      o[1] = clamp_u8(acc[1] - 0.5f);
-      o[2] = clamp_u8(acc[2] - 0.5f);
+      if (y0 >= 0 && y0 + 1 < src.h) {
+        const uint8_t* pa = src.px(y0, x);
+        const uint8_t* pb = src.px(y0 + 1, x);
+        o[0] = static_cast<uint8_t>((w0 * pa[0] + w1 * pb[0]) >> 16);
+        o[1] = static_cast<uint8_t>((w0 * pa[1] + w1 * pb[1]) >> 16);
+        o[2] = static_cast<uint8_t>((w0 * pa[2] + w1 * pb[2]) >> 16);
+      } else {
+        const float fr = w1 / 65536.0f;
+        float acc[3] = {0, 0, 0};
+        if (y0 >= 0 && y0 < src.h) {
+          const uint8_t* p = src.px(y0, x);
+          acc[0] += (1.0f - fr) * p[0];
+          acc[1] += (1.0f - fr) * p[1];
+          acc[2] += (1.0f - fr) * p[2];
+        }
+        if (y0 + 1 >= 0 && y0 + 1 < src.h) {
+          const uint8_t* p = src.px(y0 + 1, x);
+          acc[0] += fr * p[0];
+          acc[1] += fr * p[1];
+          acc[2] += fr * p[2];
+        }
+        o[0] = clamp_u8(acc[0] - 0.5f);
+        o[1] = clamp_u8(acc[1] - 0.5f);
+        o[2] = clamp_u8(acc[2] - 0.5f);
+      }
     }
   }
 }
@@ -394,14 +467,33 @@ void normalize_into(const ImageU8& img, float* out) {
       out[i * 3 + ch] = (img.data[i * 3 + ch] / 255.0f - kClipMean[ch]) / kClipStd[ch];
 }
 
+// Patch-major emitter: view pixels regrouped as [n_tokens, p*p*3] with each
+// patch flattened (row, col, channel) — the contraction order of the ViT
+// patchify conv. Shipping views in this layout makes the device-side patch
+// embedding a single matmul on a [., p*p*3]-minor tensor that tiles
+// perfectly; the [., 3]-minor image layout tile-pads 42x on TPU.
+void write_patch_major(const ImageU8& img, int p, uint8_t* out) {
+  const int g = img.h / p;  // tokens per side
+  const size_t tok_stride = static_cast<size_t>(p) * p * 3;
+  for (int th = 0; th < g; ++th)
+    for (int tw = 0; tw < g; ++tw) {
+      uint8_t* tok = out + (static_cast<size_t>(th) * g + tw) * tok_stride;
+      for (int hi = 0; hi < p; ++hi)
+        std::memcpy(tok + static_cast<size_t>(hi) * p * 3, img.px(th * p + hi, tw * p), p * 3);
+    }
+}
+
 // out_f32 != nullptr: write CLIP-normalized float32 views.
 // out_u8  != nullptr: write raw uint8 views (device normalizes; the AugMix
 //   mix is rounded to the nearest gray level — a <=0.5/255 quantization, below
 //   the bf16 input precision the towers consume, and it cuts host->device
 //   transfer 4x, which matters on bandwidth-constrained links).
+// p1/out_p1, p2/out_p2: optional patch-major u8 outputs at patch sizes p1/p2
+//   (policy and reward towers), [n_views, (R/p)^2, p*p*3] each.
 void generate_views_one(const uint8_t* image, int h, int w, int n_views, int resolution,
                         int augmix, float severity, float crop_min, uint64_t seed, float* out_f32,
-                        uint8_t* out_u8) {
+                        uint8_t* out_u8, int p1 = 0, uint8_t* out_p1 = nullptr, int p2 = 0,
+                        uint8_t* out_p2 = nullptr) {
   ImageU8 src;
   src.h = h;
   src.w = w;
@@ -409,9 +501,13 @@ void generate_views_one(const uint8_t* image, int h, int w, int n_views, int res
   const size_t view_stride = static_cast<size_t>(resolution) * resolution * 3;
   Rng rng(seed);
 
+  const size_t p1_stride = p1 ? static_cast<size_t>(resolution / p1) * (resolution / p1) * p1 * p1 * 3 : 0;
+  const size_t p2_stride = p2 ? static_cast<size_t>(resolution / p2) * (resolution / p2) * p2 * p2 * 3 : 0;
   auto emit = [&](const ImageU8& img, int v) {
     if (out_f32) normalize_into(img, out_f32 + v * view_stride);
     if (out_u8) std::memcpy(out_u8 + v * view_stride, img.data.data(), view_stride);
+    if (out_p1) write_patch_major(img, p1, out_p1 + v * p1_stride);
+    if (out_p2) write_patch_major(img, p2, out_p2 + v * p2_stride);
   };
 
   // view 0: bicubic short-side resize + center crop
@@ -451,14 +547,30 @@ void generate_views_one(const uint8_t* image, int h, int w, int n_views, int res
     const size_t n_px = static_cast<size_t>(resolution) * resolution;
     float* dst = out_f32 ? out_f32 + v * view_stride : nullptr;
     uint8_t* du = out_u8 ? out_u8 + v * view_stride : nullptr;
+    // patch outputs need the mixed u8 image materialized; reuse a chain
+    // buffer as scratch when no direct u8 output was requested
+    uint8_t* mix_u8 = du;
+    if (!mix_u8 && (out_p1 || out_p2)) mix_u8 = chains[0].data.data();
     for (size_t i = 0; i < n_px; ++i) {
       for (int ch = 0; ch < 3; ++ch) {
         const size_t k = i * 3 + ch;
         const float mixed = m * x_orig.data[k] + wc[0] * chains[0].data[k] +
                             wc[1] * chains[1].data[k] + wc[2] * chains[2].data[k];
         if (dst) dst[k] = (mixed / 255.0f - kClipMean[ch]) / kClipStd[ch];
-        if (du) du[k] = clamp_u8(mixed);
+        if (mix_u8) mix_u8[k] = clamp_u8(mixed);
       }
+    }
+    if (out_p1 || out_p2) {
+      ImageU8 mixed_img;
+      if (mix_u8 == chains[0].data.data()) {
+        mixed_img = std::move(chains[0]);
+      } else {
+        mixed_img.h = resolution;
+        mixed_img.w = resolution;
+        mixed_img.data.assign(mix_u8, mix_u8 + view_stride);
+      }
+      if (out_p1) write_patch_major(mixed_img, p1, out_p1 + v * p1_stride);
+      if (out_p2) write_patch_major(mixed_img, p2, out_p2 + v * p2_stride);
     }
   }
 }
@@ -505,6 +617,32 @@ void rlcf_generate_views_batch_u8(const uint8_t* images, int n, int h, int w, in
       generate_views_one(images + i * in_stride, h, w, n_views, resolution, augmix, severity,
                          crop_min, seed * 0x9E3779B97F4A7C15ull + i, nullptr,
                          out + i * out_stride);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < std::min(n_threads, n); ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
+
+// Patch-major batch API: emits the SAME views as the u8 API (identical RNG
+// stream) pre-patchified for two ViT patch sizes — out_p1/out_p2 are
+// [N, n_views, (R/p)^2, p*p*3] u8. Either may be null.
+void rlcf_generate_views_batch_patch_u8(const uint8_t* images, int n, int h, int w, int n_views,
+                                        int resolution, int augmix, float severity, float crop_min,
+                                        uint64_t seed, int p1, uint8_t* out_p1, int p2,
+                                        uint8_t* out_p2, int n_threads) {
+  const size_t in_stride = static_cast<size_t>(h) * w * 3;
+  const size_t out_stride = static_cast<size_t>(n_views) * resolution * resolution * 3;
+  if (n_threads <= 0) n_threads = std::max(1u, std::thread::hardware_concurrency());
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    while (true) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+      generate_views_one(images + i * in_stride, h, w, n_views, resolution, augmix, severity,
+                         crop_min, seed * 0x9E3779B97F4A7C15ull + i, nullptr, nullptr, p1,
+                         (p1 > 0 && out_p1) ? out_p1 + i * out_stride : nullptr, p2,
+                         (p2 > 0 && out_p2) ? out_p2 + i * out_stride : nullptr);
     }
   };
   std::vector<std::thread> threads;

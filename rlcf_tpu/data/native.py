@@ -44,6 +44,11 @@ def _lib():
         u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_uint64, u8p, ctypes.c_int,
     ]
+    lib.rlcf_generate_views_batch_patch_u8.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_uint64,
+        ctypes.c_int, u8p, ctypes.c_int, u8p, ctypes.c_int,
+    ]
     lib.rlcf_preprocess_batch.argtypes = [
         u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p, ctypes.c_int,
     ]
@@ -101,6 +106,42 @@ def generate_views_native_u8(
         np.uint64(seed), out, n_threads,
     )
     return out
+
+
+def generate_views_native_patch_u8(
+    images: np.ndarray,
+    n_views: int,
+    p_policy: int,
+    p_reward: int = 0,
+    resolution: int = 224,
+    augmix: bool = True,
+    severity: float = 1.0,
+    crop_min: float = 0.08,
+    seed: int = 0,
+    n_threads: int = 0,
+):
+    """[N, H, W, 3] u8 -> patch-major u8 token pair for the TPU hot path.
+
+    Returns (policy_tokens [N, V, (R/p)^2, p^2*3], reward_tokens [N, V,
+    (R/q)^2, q^2*3]) — the SAME views as ``generate_views_native_u8`` (one
+    RNG stream), pre-patchified at the policy's and reward's patch sizes so
+    device patch embedding is a single MXU matmul on a well-tiled layout
+    (the [..., 3]-minor image layout tile-pads 42x on TPU).
+    """
+    images = np.ascontiguousarray(images, dtype=np.uint8)
+    n, h, w, _ = images.shape
+    t1, d1 = (resolution // p_policy) ** 2, p_policy * p_policy * 3
+    out1 = np.empty((n, n_views, t1, d1), np.uint8)
+    if p_reward:
+        t2, d2 = (resolution // p_reward) ** 2, p_reward * p_reward * 3
+        out2 = np.empty((n, n_views, t2, d2), np.uint8)
+    else:
+        out2 = out1  # dummy buffer; p2=0 disables the second output in C++
+    _lib().rlcf_generate_views_batch_patch_u8(
+        images, n, h, w, n_views, resolution, int(augmix), float(severity), float(crop_min),
+        np.uint64(seed), p_policy, out1, p_reward, out2, n_threads,
+    )
+    return (out1, out2) if p_reward else out1
 
 
 def preprocess_native(images: np.ndarray, resolution: int = 224, n_threads: int = 0) -> np.ndarray:

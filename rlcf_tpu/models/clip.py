@@ -206,12 +206,9 @@ def _init_resnet(rng, cfg: ClipConfig, dtype):
 # ---------------------------------------------------------------------------
 
 
-def _vit_encode(p, cfg: ClipConfig, images, pool=True):
-    """images: [B, H, W, 3] NHWC, normalized. Cast to the tower's dtype like
-    the reference's ``image.type(self.dtype)`` (`TPT/clip/model.py:340-341`)."""
-    x = L.conv2d(images.astype(p["conv_w"].dtype), p["conv_w"], stride=cfg.vision_patch_size, padding="VALID")
-    B, gh, gw, W = x.shape
-    x = x.reshape(B, gh * gw, W)
+def _vit_post_patch(p, cfg: ClipConfig, x, pool=True):
+    """Shared ViT trunk after patch embedding: x [B, T, W] patch activations."""
+    B, T, W = x.shape
     cls_tok = jnp.broadcast_to(p["class_emb"].astype(x.dtype), (B, 1, W))
     x = jnp.concatenate([cls_tok, x], axis=1)
     x = x + p["pos_emb"].astype(x.dtype)
@@ -222,6 +219,60 @@ def _vit_encode(p, cfg: ClipConfig, images, pool=True):
         return jnp.dot(x, p["proj"], preferred_element_type=jnp.float32).astype(x.dtype)
     x = L.layer_norm(x, p["ln_post_w"], p["ln_post_b"])
     return jnp.dot(x, p["proj"], preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def _vit_encode(p, cfg: ClipConfig, images, pool=True):
+    """images: [B, H, W, 3] NHWC, normalized. Cast to the tower's dtype like
+    the reference's ``image.type(self.dtype)`` (`TPT/clip/model.py:340-341`)."""
+    x = L.conv2d(images.astype(p["conv_w"].dtype), p["conv_w"], stride=cfg.vision_patch_size, padding="VALID")
+    B, gh, gw, W = x.shape
+    return _vit_post_patch(p, cfg, x.reshape(B, gh * gw, W), pool=pool)
+
+
+def patch_tokens_from_images(images, patch_size: int):
+    """NHWC images -> patch-major tokens [B, T, patch_size*patch_size*3].
+
+    Patch vector order is (row, col, channel) — exactly the contraction order
+    of the HWIO patchify conv, so ``encode_image_tokens`` on these tokens is
+    bit-for-bit the conv path. Works on numpy or jax arrays.
+    """
+    B, H, W, C = images.shape
+    gh, gw = H // patch_size, W // patch_size
+    x = images.reshape(B, gh, patch_size, gw, patch_size, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, gh * gw, patch_size * patch_size * C)
+
+
+def images_from_patch_tokens(tokens, patch_size: int):
+    """Inverse of ``patch_tokens_from_images``: [B, T, p*p*3] -> NHWC images.
+
+    Device-side materialization of the [..., 3]-minor layout — use only for
+    small selections (e.g. reward-tower inputs after confidence selection).
+    """
+    B, T, D = tokens.shape
+    g = int(round(T ** 0.5))
+    p = patch_size
+    x = tokens.reshape(B, g, g, p, p, 3)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, g * p, g * p, 3)
+
+
+def encode_image_tokens(params, cfg: ClipConfig, tokens, pool=True):
+    """Encode pre-patchified views: tokens [B, T, p*p*3] -> [B, embed_dim].
+
+    The TPU-native hot path: hosts ship views in patch-major layout (minor
+    dim p*p*3, e.g. 768 — rides the fast transfer path and tiles perfectly)
+    and patch embedding becomes one MXU matmul with the conv kernel reshaped
+    [p*p*3, width]; no image-space [..., 3]-minor tensor ever materializes on
+    device (such layouts tile-pad 42x). ViT towers only.
+    """
+    if not cfg.is_vit:
+        raise ValueError("encode_image_tokens requires a ViT tower (ResNets keep the NHWC path)")
+    p = params["visual"]
+    W = p["conv_w"].shape[-1]
+    kmat = p["conv_w"].reshape(-1, W)  # HWIO row-major == (row, col, channel)
+    x = jnp.dot(tokens.astype(kmat.dtype), kmat, preferred_element_type=jnp.float32).astype(kmat.dtype)
+    return _vit_post_patch(p, cfg, x, pool=pool)
 
 
 def _bottleneck(x, p, stride: int, bn_prior=None):

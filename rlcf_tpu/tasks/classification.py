@@ -41,6 +41,27 @@ def maybe_normalize_u8(views):
     return views
 
 
+def patch_norm_constants(patch_dim: int):
+    """Per-column CLIP mean/std for patch-major u8 tokens [.., T, patch_dim].
+
+    Column j of a patch-major token corresponds to channel ``j % 3`` (patch
+    pixels flatten (row, col, channel)), so u8 -> CLIP-normalized is one
+    vectorized affine with tiled [patch_dim] constants — no image-space
+    reshuffle on device.
+    """
+    reps = patch_dim // 3
+    return (
+        jnp.asarray(np.tile(CLIP_MEAN, reps).astype(np.float32)),
+        jnp.asarray(np.tile(CLIP_STD, reps).astype(np.float32)),
+    )
+
+
+def normalize_u8_patch_tokens(tokens):
+    """u8 patch-major tokens [..., T, D] -> CLIP-normalized float32."""
+    mean, std = patch_norm_constants(tokens.shape[-1])
+    return (tokens.astype(jnp.float32) / 255.0 - mean) / std
+
+
 def truncate_tokens(tokens: np.ndarray) -> np.ndarray:
     """Drop the all-padding tail: causal attention + EOT pooling make
     positions past max(eot) dead compute (exact, not approximate)."""
@@ -245,15 +266,21 @@ class PromptTTAClassifier:
             feats = clip_model.normalize(clip_model.encode_image(rparams_, rcfg_, views).astype(jnp.float32))
             return jnp.dot(feats, r_class_feats.T, preferred_element_type=jnp.float32)
 
-        @jax.jit
-        def prepare(cparams, rparams, tf0_, r_class_feats, views_batch):
+        @functools.partial(jax.jit, static_argnames=("views_shape",))
+        def prepare(cparams, rparams, tf0_, r_class_feats, views_batch, views_shape=None):
             """[N, B, H, W, 3] -> (img_feats [N,B,E], sel [N,S], reward_sim).
 
             reward_sim: [N, S, C] for a single reward, [N, M, S, C] stacked
             for ensembles. uint8 views are raw pixels, CLIP-normalized here
             on device (4x cheaper host->device transfer; the normalize fuses
-            into the first conv).
+            into the first conv). ``views_shape``: when set, ``views_batch``
+            arrives as a FLAT u8 buffer and is reshaped on device — a rank-5
+            [.., 3]-minor u8 array tile-pads through the transfer path
+            (measured 45 MB/s vs 1.5 GB/s flat on this fabric, a 34x
+            difference); the reshape fuses into the normalize+conv consumer.
             """
+            if views_shape is not None:
+                views_batch = views_batch.reshape(views_shape)
             views_batch = maybe_normalize_u8(views_batch)
             N, B = views_batch.shape[:2]
             n_keep = max(1, int(B * ecfg.selection_p))
@@ -302,6 +329,50 @@ class PromptTTAClassifier:
             final = scale_ * jnp.dot(img_feats[:1], tf_final.T, preferred_element_type=jnp.float32)
             return final[0], losses
 
+        # ---- patch-major token path (the TPU-native hot path) --------------
+        # Views arrive pre-patchified on host: policy tokens [N, B, Tp, p²·3]
+        # and reward tokens [N, B, Tr, q²·3] u8. Patch embedding is one MXU
+        # matmul; no [..., 3]-minor image tensor ever exists on device (that
+        # layout tile-pads 42x and costs ~0.8 s per 256-view group in
+        # transfer OR relayout). ViT policy + single ViT reward only.
+        token_mode_ok = cfg.is_vit and (not is_ensemble)
+        patch_size = cfg.vision_patch_size
+
+        @jax.jit
+        def prepare_tokens(cparams, rparams, tf0_, r_class_feats, ptoks, rtoks=None):
+            N, B, Tp, Dp = ptoks.shape
+            n_keep = max(1, int(B * ecfg.selection_p))
+            x = normalize_u8_patch_tokens(ptoks).reshape(N * B, Tp, Dp)
+            img = clip_model.encode_image_tokens(cparams, cfg, x)
+            img_feats = clip_model.normalize(img.astype(jnp.float32)).reshape(N, B, -1)
+            scale_ = jnp.exp(cparams["logit_scale"]).astype(jnp.float32)
+            logits0 = scale_ * jnp.einsum("nbe,ce->nbc", img_feats, tf0_, preferred_element_type=jnp.float32)
+            sel = Lo.select_confident_entropy(Lo.entropy_per_sample(logits0), n_keep)  # [N, S]
+            if rtoks is not None:
+                # reward pre-patchified on host at the reward's own patch size
+                # (ViT reward at the view resolution only)
+                Tr, Dr = rtoks.shape[2], rtoks.shape[3]
+                sel_r = jnp.take_along_axis(rtoks, sel[:, :, None, None], axis=1)
+                rx = normalize_u8_patch_tokens(sel_r).reshape(N * n_keep, Tr, Dr)
+                feats = clip_model.normalize(
+                    clip_model.encode_image_tokens(rparams, reward_model.cfg, rx).astype(jnp.float32)
+                )
+                r_sim = jnp.dot(feats, r_class_feats.T, preferred_element_type=jnp.float32)
+                r_sim = r_sim.reshape(N, n_keep, -1)
+            else:
+                # depatchify ONLY the selected views (S << B) back to image
+                # space for the reward tower — works for any reward arch and
+                # resolution (resize happens in _reward_encode); the costly
+                # [..., 3]-minor layout exists only for the small selection.
+                sel_p = jnp.take_along_axis(ptoks, sel[:, :, None, None], axis=1)  # [N, S, Tp, Dp]
+                sel_x = normalize_u8_patch_tokens(sel_p).reshape(N * n_keep, Tp, Dp)
+                sel_views = clip_model.images_from_patch_tokens(sel_x, patch_size)
+                r_sim = _reward_encode(rparams, reward_model.cfg, sel_views, r_class_feats).reshape(
+                    N, n_keep, -1
+                )
+            return img_feats, sel, r_sim
+
+        self._prepare_tokens = prepare_tokens if token_mode_ok else None
         self._tf0 = tf0
         self._trainable0 = trainable0
         self._pt_args = pt_args
@@ -312,9 +383,65 @@ class PromptTTAClassifier:
         return self
 
     def adapt(self, views_batch):
-        """views_batch: [N, B, H, W, 3] -> (final_logits [N, C], aux)."""
+        """views_batch: [N, B, H, W, 3] -> (final_logits [N, C], aux).
+
+        Host uint8 batches ship FLAT and reshape on device: the rank-5
+        [..., 3]-minor u8 layout tile-pads through the host->device path
+        (34x slower transfer measured); flat rides the fast path and the
+        device reshape fuses into the first conv's input processing.
+        """
+        views_shape = None
+        if isinstance(views_batch, np.ndarray) and views_batch.dtype == np.uint8:
+            views_shape = views_batch.shape
+            views_batch = jax.device_put(np.ascontiguousarray(views_batch).reshape(-1))
         img_feats, sel, r_sim = self._prepare(
-            self.clip_params, self._reward_params_arg, self._tf0, self._reward_feats_arg, jnp.asarray(views_batch)
+            self.clip_params, self._reward_params_arg, self._tf0, self._reward_feats_arg,
+            jnp.asarray(views_batch), views_shape=views_shape,
+        )
+        logits, losses = self._episodes(
+            self.clip_params, self._trainable0, self._pt_args, self._tf0, img_feats, sel, r_sim
+        )
+        return logits, {"losses": losses, "selected": sel}
+
+    def adapt_tokens(self, policy_tokens, reward_tokens=None):
+        """TTA from pre-patchified u8 views (the TPU-native hot path).
+
+        policy_tokens: [N, B, (res/p)², p²·3] u8, patch-major (row, col,
+        channel) flattening of the views at the policy's patch size. With
+        ``reward_tokens`` (same views at the reward's patch size) the reward
+        tower also consumes tokens directly — requires a ViT reward at the
+        view resolution; without it, only the confidence-selected views are
+        depatchified on device for the reward (any reward arch/resolution).
+        """
+        if self._prepare_tokens is None:
+            raise ValueError(
+                "token mode needs a ViT policy and a single reward model "
+                "(ResNet policies / reward ensembles take the NHWC adapt() path)"
+            )
+        pd = self.clip_cfg.vision_patch_size ** 2 * 3
+        if policy_tokens.shape[-1] != pd:
+            raise ValueError(
+                f"policy patch dim {policy_tokens.shape[-1]} doesn't match the tower (expect {pd})"
+            )
+        if reward_tokens is not None:
+            if not self.reward.cfg.is_vit:
+                raise ValueError("reward_tokens require a ViT reward; omit them to use depatchify")
+            rd = self.reward.cfg.vision_patch_size ** 2 * 3
+            if reward_tokens.shape[-1] != rd:
+                raise ValueError(
+                    f"reward patch dim {reward_tokens.shape[-1]} doesn't match the tower (expect {rd})"
+                )
+            n_tok_r = (self.reward.cfg.image_resolution // self.reward.cfg.vision_patch_size) ** 2
+            if reward_tokens.shape[2] != n_tok_r:
+                raise ValueError(
+                    f"reward tokens carry {reward_tokens.shape[2]} patches but the reward tower "
+                    f"expects {n_tok_r}: views must be generated at the reward resolution "
+                    f"({self.reward.cfg.image_resolution}px)"
+                )
+            reward_tokens = jnp.asarray(reward_tokens)
+        img_feats, sel, r_sim = self._prepare_tokens(
+            self.clip_params, self._reward_params_arg, self._tf0, self._reward_feats_arg,
+            jnp.asarray(policy_tokens), reward_tokens,
         )
         logits, losses = self._episodes(
             self.clip_params, self._trainable0, self._pt_args, self._tf0, img_feats, sel, r_sim
@@ -466,7 +593,16 @@ class EncoderTTAClassifier:
             )
             return episode(trainable0, {"views": views, "frozen_visual": frozen_visual}, views)
 
-        self._episode_batched = jax.jit(jax.vmap(full_episode, in_axes=(None, None, None, None, None, None, 0)))
+        vmapped = jax.vmap(full_episode, in_axes=(None, None, None, None, None, None, 0))
+
+        @functools.partial(jax.jit, static_argnames=("views_shape",))
+        def episode_batched(cparams, rparams, class_feats, r_class_feats, frozen_visual, trainable0, views, views_shape=None):
+            # flat-u8 fast transfer path (see PromptTTAClassifier.adapt)
+            if views_shape is not None:
+                views = views.reshape(views_shape)
+            return vmapped(cparams, rparams, class_feats, r_class_feats, frozen_visual, trainable0, views)
+
+        self._episode_batched = episode_batched
         return self
 
     def adapt(self, views_batch):
@@ -480,6 +616,10 @@ class EncoderTTAClassifier:
         """
         Po = self._Po
         start = self.momentum_state.reset_params if self.momentum_update else self.trainable0
+        views_shape = None
+        if isinstance(views_batch, np.ndarray) and views_batch.dtype == np.uint8:
+            views_shape = views_batch.shape
+            views_batch = jax.device_put(np.ascontiguousarray(views_batch).reshape(-1))
         logits, aux = self._episode_batched(
             self.clip_params,
             self.reward.params,
@@ -488,6 +628,7 @@ class EncoderTTAClassifier:
             self.frozen_visual,
             start,
             jnp.asarray(views_batch),
+            views_shape=views_shape,
         )
         if self.momentum_update:
             n = views_batch.shape[0]

@@ -75,3 +75,21 @@ def test_views_finite_and_in_range():
     lo = ((0.0 - CLIP_MEAN) / CLIP_STD).min() - 1e-4
     hi = ((1.0 - CLIP_MEAN) / CLIP_STD).max() + 1e-4
     assert v.min() >= lo and v.max() <= hi
+
+
+def test_patch_major_matches_u8_views():
+    """Patch-major emitter == patchified NHWC u8 views (same RNG stream)."""
+    native = pytest.importorskip("rlcf_tpu.data.native")
+    if not native.available():
+        pytest.skip("no native toolchain")
+    import numpy as np
+    from rlcf_tpu.models.clip import patch_tokens_from_images
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+    u8 = native.generate_views_native_u8(imgs, n_views=5, resolution=32, seed=7)
+    p1, p2 = native.generate_views_native_patch_u8(imgs, n_views=5, p_policy=16, p_reward=8, resolution=32, seed=7)
+    assert p1.shape == (2, 5, 4, 768) and p2.shape == (2, 5, 16, 192)
+    for i in range(2):
+        np.testing.assert_array_equal(p1[i], patch_tokens_from_images(u8[i], 16))
+        np.testing.assert_array_equal(p2[i], patch_tokens_from_images(u8[i], 8))

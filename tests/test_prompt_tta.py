@@ -89,3 +89,58 @@ def test_reward_resolution_mismatch(setup):
     clf = PromptTTAClassifier(policy_params, policy_cfg, reward64, ecfg).setup(CLASSNAMES)
     logits, _ = clf.adapt(make_views())
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_adapt_u8_flat_transfer_matches_float(setup):
+    """uint8 views via the flat-transfer fast path == the same views as f32.
+
+    (Flat u8 + on-device reshape rides a 34x faster host->device path; the
+    math must be unchanged up to the u8 quantization itself.)
+    """
+    policy_params, policy_cfg, reward = setup
+    ecfg = EpisodeConfig(tta_steps=1, selection_p=0.25, lr=5e-3, sample_k=2)
+    clf = PromptTTAClassifier(policy_params, policy_cfg, reward, ecfg).setup(CLASSNAMES)
+    rng = np.random.default_rng(3)
+    u8 = rng.integers(0, 256, size=(2, 8, 32, 32, 3), dtype=np.uint8)
+    from rlcf_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+
+    f32 = ((u8.astype(np.float32) / 255.0) - CLIP_MEAN) / CLIP_STD
+    lg_u8, _ = clf.adapt(u8)
+    lg_f32, _ = clf.adapt(f32.astype(np.float32))
+    np.testing.assert_allclose(np.asarray(lg_u8), np.asarray(lg_f32), rtol=2e-4, atol=2e-4)
+
+
+def test_adapt_tokens_matches_image_path(setup):
+    """Patch-major token path == NHWC image path on identical u8 views."""
+    policy_params, policy_cfg, reward = setup
+    ecfg = EpisodeConfig(tta_steps=2, selection_p=0.25, lr=5e-3, sample_k=2)
+    clf = PromptTTAClassifier(policy_params, policy_cfg, reward, ecfg).setup(CLASSNAMES)
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 256, size=(2, 8, 32, 32, 3), dtype=np.uint8)
+
+    from rlcf_tpu.models.clip import patch_tokens_from_images
+
+    p = policy_cfg.vision_patch_size
+    q = reward.cfg.vision_patch_size
+    ptoks = np.stack([patch_tokens_from_images(v, p) for v in u8])
+    rtoks = np.stack([patch_tokens_from_images(v, q) for v in u8])
+
+    lg_img, aux_img = clf.adapt(u8)
+    lg_tok, aux_tok = clf.adapt_tokens(ptoks, rtoks)
+    np.testing.assert_array_equal(np.asarray(aux_img["selected"]), np.asarray(aux_tok["selected"]))
+    np.testing.assert_allclose(np.asarray(lg_tok), np.asarray(lg_img), rtol=2e-4, atol=2e-4)
+
+
+def test_adapt_tokens_depatchify_reward_matches(setup):
+    """Single-buffer token mode (reward via on-device depatchify) == image path."""
+    policy_params, policy_cfg, reward = setup
+    ecfg = EpisodeConfig(tta_steps=2, selection_p=0.25, lr=5e-3, sample_k=2)
+    clf = PromptTTAClassifier(policy_params, policy_cfg, reward, ecfg).setup(CLASSNAMES)
+    rng = np.random.default_rng(11)
+    u8 = rng.integers(0, 256, size=(2, 8, 32, 32, 3), dtype=np.uint8)
+    from rlcf_tpu.models.clip import patch_tokens_from_images
+
+    ptoks = np.stack([patch_tokens_from_images(v, policy_cfg.vision_patch_size) for v in u8])
+    lg_img, _ = clf.adapt(u8)
+    lg_tok, _ = clf.adapt_tokens(ptoks)
+    np.testing.assert_allclose(np.asarray(lg_tok), np.asarray(lg_img), rtol=2e-4, atol=2e-4)

@@ -171,6 +171,59 @@ def main():
     np.savez(out2, **payload2)
     print(f"wrote {out2}; final logits {enc_final}")
 
+    # ----- encoder-TTA with momentum-EMA re-anchoring over a sample stream -----
+    # Reference flow (`tune_cls_rl.py:219-240` + `custom_clip.py:458-475`):
+    # per sample: reset() to the anchor, restore optimizer, test_time_tuning,
+    # predict, momentum_update_model() folds the adapted visual tower into the
+    # EMA and re-anchors every update_freq samples with weight update_w.
+    import copy
+
+    policy4 = tiny_clip_torch(ref_model, seed=10)
+    cc.load = lambda *a, **k: (policy4, 32, None)
+    enc_m = cc.CLIPCLS_TTA(
+        "cpu", classnames, arch="policy", prompt_prefix="a photo of a", only_visual=True,
+        momentum_update=True, update_freq=2, update_w=0.5, momentum=0.9,
+    )
+    reward_model4 = cr.CLIPRewards(
+        "cpu", arch="reward", classification=True, amplify_rewards=False, sample_k=2,
+        reward_process=True, process_batch=False, default_resolutions=32,
+    )
+    reward_model4.resolutions = 32
+    reward_model4.set_class_features(tokenized_classes=enc_m.tokenized_prompts)
+    optimizer4 = torch.optim.AdamW(enc_m.parameters(), lr=1e-3, weight_decay=5e-4)
+    optim_state4 = copy.deepcopy(optimizer4.state_dict())
+    args4 = argparse.Namespace(tta_steps=2, selection_p=0.25, min_entropy_reg=False, min_entropy_w=0.0)
+
+    n_samples = 3
+    sample_views = rng.normal(size=(n_samples, 8, 3, 32, 32)).astype(np.float32)
+    finals = []
+    for i in range(n_samples):
+        with torch.no_grad():
+            enc_m.reset()
+        optimizer4.load_state_dict(copy.deepcopy(optim_state4))
+        test_time_tuning(enc_m, torch.from_numpy(sample_views[i]), optimizer4, PassthroughScaler(),
+                         args4, reward_model=reward_model4)
+        with torch.no_grad():
+            finals.append(enc_m(torch.from_numpy(sample_views[i][:1])).numpy())
+        enc_m.momentum_update_model()
+
+    payload3 = {
+        "sample_views": sample_views,
+        "final_logits": np.concatenate(finals, axis=0),
+        "classnames": np.array(classnames),
+        "momentum": np.array(0.9),
+        "update_freq": np.array(2),
+        "update_w": np.array(0.5),
+        "lr": np.array(1e-3),
+        "tta_steps": np.array(2),
+    }
+    policy5 = tiny_clip_torch(ref_model, seed=10)  # pristine weights
+    payload3.update({f"policy::{k}": v.numpy() for k, v in policy5.state_dict().items()})
+    payload3.update({f"reward::{k}": v.numpy() for k, v in reward_clip.state_dict().items()})
+    out3 = OUT.replace("golden_episode", "golden_episode_encoder_momentum")
+    np.savez(out3, **payload3)
+    print(f"wrote {out3}; per-sample final logits {np.concatenate(finals, axis=0)}")
+
 
 if __name__ == "__main__":
     main()
