@@ -98,3 +98,42 @@ def test_encoder_episode_matches_reference():
     views = np.transpose(data["views"], (0, 2, 3, 1))[None]
     logits, _ = clf.adapt(views)
     np.testing.assert_allclose(np.asarray(logits[0]), data["final_logits"][0], rtol=2e-3, atol=2e-4)
+
+
+def test_encoder_momentum_stream_matches_reference():
+    """Momentum-EMA encoder TTA over a sample stream vs the reference flow.
+
+    The fixture replays `tune_cls_rl.py:219-240` + `custom_clip.py:458-475`
+    with momentum_update=True (momentum 0.9, update_freq 2, update_w 0.5):
+    3 sequential samples, each reset-to-anchor -> tune -> predict ->
+    EMA-fold; the re-anchor triggers after sample 2, so sample 3's logits pin
+    the full MomentumState mechanics (ema fold, counter, re-anchor mix).
+    """
+    from rlcf_tpu.tasks.classification import EncoderTTAClassifier
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "golden_episode_encoder_momentum.npz")
+    data = np.load(path, allow_pickle=True)
+    policy_sd = {k[len("policy::"):]: data[k] for k in data.files if k.startswith("policy::")}
+    reward_sd = {k[len("reward::"):]: data[k] for k in data.files if k.startswith("reward::")}
+    policy_params, policy_cfg = convert_clip_state_dict(policy_sd)
+    reward_params, reward_cfg = convert_clip_state_dict(reward_sd)
+    reward = ClipReward(reward_params, reward_cfg, RewardConfig(sample_k=2))
+
+    ecfg = EpisodeConfig(
+        tta_steps=int(data["tta_steps"]), selection_p=0.25, lr=float(data["lr"]),
+        weight_decay=5e-4, sample_k=2,
+    )
+    classnames = [str(c) for c in data["classnames"]]
+    clf = EncoderTTAClassifier(
+        policy_params, policy_cfg, reward, ecfg,
+        momentum_update=True, update_freq=int(data["update_freq"]),
+        update_w=float(data["update_w"]), momentum=float(data["momentum"]),
+    ).setup(classnames)
+
+    sample_views = np.transpose(data["sample_views"], (0, 1, 3, 4, 2))  # [S, B, H, W, 3]
+    for i in range(sample_views.shape[0]):
+        logits, _ = clf.adapt(sample_views[i][None])  # N=1: exact sequential parity
+        np.testing.assert_allclose(
+            np.asarray(logits[0]), data["final_logits"][i], rtol=2e-3, atol=2e-4,
+            err_msg=f"sample {i} diverged (momentum anchor state wrong)",
+        )
