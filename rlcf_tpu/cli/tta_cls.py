@@ -150,23 +150,43 @@ def main(argv=None):
         group_imgs, group_labels = [], []
         rng_counter = [skip // max(args.episode_group, 1)]
 
+        # Native backend: ship patch-major u8 tokens when the policy is a ViT
+        # (single reward) — the TPU hot path: fast transfer layout + patch
+        # embedding as one MXU matmul, selected views depatchified on device
+        # for the reward. Falls back to NHWC u8 otherwise.
+        use_tokens = (
+            gen is None
+            and not args.cocoop
+            and cfg.is_vit
+            and getattr(clf, "_prepare_tokens", None) is not None
+        )
+
         def flush():
             if not group_imgs:
                 return
             imgs = np.stack([_to_canonical(im, 256) for im in group_imgs])
             if gen is None:  # native host pipeline, raw u8 (device normalizes)
-                from ..data.native import generate_views_native_u8
+                if use_tokens:
+                    from ..data.native import generate_views_native_patch_u8
 
-                views = generate_views_native_u8(
-                    imgs.astype(np.uint8), n_views=args.batch_size, resolution=args.resolution,
-                    augmix=bool(args.augmix), seed=args.seed * 100003 + rng_counter[0],
-                )
+                    views = generate_views_native_patch_u8(
+                        imgs.astype(np.uint8), n_views=args.batch_size,
+                        p_policy=cfg.vision_patch_size, resolution=args.resolution,
+                        augmix=bool(args.augmix), seed=args.seed * 100003 + rng_counter[0],
+                    )
+                else:
+                    from ..data.native import generate_views_native_u8
+
+                    views = generate_views_native_u8(
+                        imgs.astype(np.uint8), n_views=args.batch_size, resolution=args.resolution,
+                        augmix=bool(args.augmix), seed=args.seed * 100003 + rng_counter[0],
+                    )
                 rng_counter[0] += 1
             else:
                 keys = jax.random.split(jax.random.PRNGKey(args.seed * 100003 + rng_counter[0]), len(group_imgs))
                 rng_counter[0] += 1
                 views = gen(jnp.asarray(imgs), keys)
-            logits, _ = clf.adapt(views)
+            logits, _ = (clf.adapt_tokens(views) if (gen is None and use_tokens) else clf.adapt(views))
             from ..metrics.classification import topk_correct
 
             counts = topk_correct(np.asarray(logits), np.asarray(group_labels))

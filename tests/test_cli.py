@@ -70,3 +70,21 @@ def test_tta_caption_cli(tmp_path):
     assert len(r) == 2
     assert (tmp_path / "caption_trace.txt").exists()
     assert (tmp_path / "results_caption.json").exists()
+
+
+def test_tta_cls_cli_native_token_path(tmp_path):
+    """--viewgen native on a ViT policy takes the patch-major token path."""
+    from rlcf_tpu.data import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    from rlcf_tpu.cli import tta_cls
+
+    r = tta_cls.main(
+        [".", "--test_sets", "synthetic", "--limit", "2", "--arch", "test-small",
+         "--reward_arch", "test-small", "--precision", "fp32", "--resolution", "64",
+         "--batch_size", "4", "--tta_steps", "1", "--sample_k", "2",
+         "--ctx_init", "a_photo_of_a", "--episode_group", "2", "--viewgen", "native",
+         "--output", str(tmp_path)]
+    )
+    assert 0 <= r["synthetic"]["top1"] <= 100
