@@ -91,3 +91,42 @@ def momentum_update(state: MomentumState, adapted, momentum: float = 0.9999, upd
         )
         return MomentumState(state.orig_params, reset, ema, 0)
     return MomentumState(state.orig_params, state.reset_params, ema, counter)
+
+
+def momentum_update_batch(
+    state: MomentumState, adapted_stack, momentum: float = 0.9999, update_freq: int = 256, update_w: float = 1.0
+) -> MomentumState:
+    """Fold a GROUP of adapted params (stacked on a leading axis) in episode
+    order — one fused device scan instead of N host-side tree-slice loops.
+
+    Bit-identical to applying ``momentum_update`` sequentially (same fold
+    order, mid-group re-anchors included); only the host<->device sync
+    pattern changes (one launch per group, one counter read-back).
+    """
+    import functools
+
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("m", "freq", "w"))
+    def fold(ema0, reset0, counter0, orig, stack, m, freq, w):
+        def step(carry, a_i):
+            ema, reset, counter = carry
+            ema = jax.tree_util.tree_map(lambda e, a: m * e + (1.0 - m) * a, ema, a_i)
+            counter = counter + 1
+            fire = counter >= freq
+            reset = jax.tree_util.tree_map(
+                lambda o, e, r: jnp.where(fire, (1.0 - w) * o + w * e, r), orig, ema, reset
+            )
+            counter = jnp.where(fire, 0, counter)
+            return (ema, reset, counter), None
+
+        (ema, reset, counter), _ = jax.lax.scan(
+            step, (ema0, reset0, jnp.asarray(counter0, jnp.int32)), stack
+        )
+        return ema, reset, counter
+
+    ema, reset, counter = fold(
+        state.ema_params, state.reset_params, state.counter, state.orig_params, adapted_stack,
+        m=momentum, freq=update_freq, w=update_w,
+    )
+    return MomentumState(state.orig_params, reset, ema, int(counter))

@@ -546,9 +546,9 @@ class CaptionTTA:
         final = self._generate_final_batch(opt_params, mappers, clip_embs)
         captions = [t.lower() for t in self.tok.batch_decode(np.asarray(final), stop_id=self.ccfg.opt.eos_newline_id)]
         if self.momentum_update:
-            for i in range(N):
-                adapted_i = jax.tree_util.tree_map(lambda a: a[i], mappers)
-                self.momentum_state = self._Po.momentum_update(self.momentum_state, adapted_i, **self.momentum_cfg)
+            self.momentum_state = self._Po.momentum_update_batch(
+                self.momentum_state, mappers, **self.momentum_cfg
+            )
         return captions
 
     def predict_only(self, clip_emb) -> List[str]:

@@ -631,10 +631,9 @@ class EncoderTTAClassifier:
             views_shape=views_shape,
         )
         if self.momentum_update:
-            n = views_batch.shape[0]
-            for i in range(n):
-                adapted_i = jax.tree_util.tree_map(lambda a: a[i], aux["adapted"])
-                self.momentum_state = Po.momentum_update(self.momentum_state, adapted_i, **self.momentum_cfg)
+            self.momentum_state = Po.momentum_update_batch(
+                self.momentum_state, aux["adapted"], **self.momentum_cfg
+            )
             aux = {k: v for k, v in aux.items() if k != "adapted"}
         return logits[:, 0], aux
 

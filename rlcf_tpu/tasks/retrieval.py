@@ -240,9 +240,11 @@ class RetrievalTTA:
             self.clip_params, self.reward.params, self.gallery_feats, self.reward_gallery_feats, start, q
         )
         if self.momentum_update:
-            for i in range(q.shape[0]):
-                adapted_i = jax.tree_util.tree_map(lambda a: a[i], aux["adapted"])
-                self.momentum_state = Po.momentum_update(self.momentum_state, adapted_i, **self.momentum_cfg)
+            # fused device scan: bit-identical to the sequential per-sample
+            # fold, without N host-sliced tree_maps (`Po.momentum_update_batch`)
+            self.momentum_state = Po.momentum_update_batch(
+                self.momentum_state, aux["adapted"], **self.momentum_cfg
+            )
         return np.asarray(logits[:, 0])
 
     def run(self, queries_iter, total: int, gallery_size: int, group_size: int = 4) -> np.ndarray:

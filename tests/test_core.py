@@ -282,3 +282,28 @@ def test_episode_vmap_batches_independent():
     out_1, _ = ep(ctx0, {"img": imgs[1]}, vs[1])
     np.testing.assert_allclose(np.asarray(out_b[0]), np.asarray(out_0), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(out_b[1]), np.asarray(out_1), rtol=1e-6)
+
+
+def test_momentum_update_batch_equals_sequential():
+    """Fused group fold == N sequential momentum_update calls (re-anchor mid-group)."""
+    import jax
+    import jax.numpy as jnp
+    from rlcf_tpu.core import policy as Po
+
+    rng = np.random.default_rng(0)
+    params = {"w": jnp.asarray(rng.normal(size=(3, 4)).astype(np.float32)),
+              "b": jnp.asarray(rng.normal(size=(4,)).astype(np.float32))}
+    adapted = {k: jnp.asarray(rng.normal(size=(5,) + tuple(v.shape)).astype(np.float32))
+               for k, v in params.items()}
+    kw = dict(momentum=0.9, update_freq=3, update_w=0.7)  # re-anchors at i=2 within the group
+
+    seq = Po.MomentumState.create(params)
+    for i in range(5):
+        a_i = jax.tree_util.tree_map(lambda a: a[i], adapted)
+        seq = Po.momentum_update(seq, a_i, **kw)
+
+    bat = Po.momentum_update_batch(Po.MomentumState.create(params), adapted, **kw)
+    assert bat.counter == seq.counter == 2
+    for k in params:
+        np.testing.assert_allclose(np.asarray(bat.ema_params[k]), np.asarray(seq.ema_params[k]), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(bat.reset_params[k]), np.asarray(seq.reset_params[k]), rtol=1e-6)
