@@ -136,12 +136,21 @@ def main(argv=None):
         update_w=args.update_w, momentum=args.tta_momentum,
     )
 
+    # Reference caption CLIs take --dataset_mode as an int selecting the eval
+    # set (0=COCO 1=Flickr30k 2=NoCaps, `image_llm/params.py`); the shared
+    # run-args default ("test") maps to path-keyed results.
+    try:
+        dmode = int(args.dataset_mode)
+    except (TypeError, ValueError):
+        dmode = -1
+
     # data
     if args.synthetic:
         rng = np.random.default_rng(args.seed)
         n = args.limit or 4
         samples = [
-            (f"synthetic_{i}", rng.normal(size=(args.resolution, args.resolution, 3)).astype(np.float32))
+            (f"synthetic_{i}", f"synthetic_{i}",
+             rng.normal(size=(args.resolution, args.resolution, 3)).astype(np.float32))
             for i in range(n)
         ]
     else:
@@ -149,8 +158,24 @@ def main(argv=None):
 
         with open(args.annotations) as fh:
             ann = json.load(fh)
+
+        # image_id extraction per eval set (`caption/image_llm/datasets/
+        # coco_cap.py:239-289`): COCO parses the trailing number of
+        # COCO_val2014_000000xxxx.jpg, Flickr the numeric stem, NoCaps carries
+        # explicit ids; default (-1) keys results by the image path.
+        def entry_id(a):
+            img = a["image"]
+            if dmode == 0:
+                return int(img.split("_")[-1][:-4])
+            if dmode == 1:
+                return int(img.split("/")[-1][:-4])
+            if dmode == 2:
+                return a["image_id"]
+            return img
+
         samples = [
-            (a["image"], preprocess_pil(os.path.join(args.images_root, a["image"]), args.resolution))
+            (entry_id(a), os.path.basename(a["image"]) if dmode >= 0 else a["image"],
+             preprocess_pil(os.path.join(args.images_root, a["image"]), args.resolution))
             for a in ann[: args.limit]
         ]
 
@@ -160,7 +185,8 @@ def main(argv=None):
 
     def run_group(group):
         ids = [g[0] for g in group]
-        imgs = np.stack([g[1] for g in group])
+        subs = [g[1] for g in group]
+        imgs = np.stack([g[2] for g in group])
         embs = np.asarray(encode_img(clip_params, jnp.asarray(imgs))).astype(np.float32)
         if args.normalize_prefix:
             embs = embs / np.linalg.norm(embs, axis=-1, keepdims=True)
@@ -169,11 +195,11 @@ def main(argv=None):
             captions = [tta.adapt_image(imgs[0], embs[0], trace=trace)]
         else:
             captions = tta.adapt_batch(imgs, embs, trace=trace)
-        for image_id, caption in zip(ids, captions):
-            trace_log.log_id(str(image_id))
+        for image_id, sub, caption in zip(ids, subs, captions):
+            trace_log.log_id(str(sub))
             trace_log.log_final(caption)
             results.append({"image_id": image_id, "caption": caption})
-            per_image[str(image_id)] = caption
+            per_image[str(sub)] = caption
         for step_samples in trace:
             trace_log.log_samples([t for t, _ in step_samples], [r for _, r in step_samples])
 

@@ -88,3 +88,37 @@ def test_tta_cls_cli_native_token_path(tmp_path):
          "--output", str(tmp_path)]
     )
     assert 0 <= r["synthetic"]["top1"] <= 100
+
+
+def test_tta_caption_dataset_mode_ids(tmp_path):
+    """--dataset_mode 0 extracts integer COCO ids and path-keys clipscore json
+    (`caption/image_llm/datasets/coco_cap.py:239-247`)."""
+    import json as _json
+
+    from PIL import Image
+    from rlcf_tpu.cli import tta_caption
+    from rlcf_tpu.cli.tta_caption import _synthetic_tokenizer
+
+    tok = _synthetic_tokenizer(str(tmp_path / "tok"))
+    img_dir = tmp_path / "imgs" / "val2014"
+    img_dir.mkdir(parents=True)
+    arr = np.random.default_rng(0).integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(img_dir / "COCO_val2014_000000000042.jpg")
+    ann = [{"image": "val2014/COCO_val2014_000000000042.jpg", "caption": ["a thing"]}]
+    ann_p = tmp_path / "ann.json"
+    ann_p.write_text(_json.dumps(ann))
+
+    tta_caption.main(
+        ["--annotations", str(ann_p), "--images_root", str(tmp_path / "imgs"),
+         "--dataset_mode", "0", "--llm", "test-tiny-opt",
+         "--opt_vocab", str(tmp_path / "tok" / "vocab.json"),
+         "--opt_merges", str(tmp_path / "tok" / "merges.txt"),
+         "--clip_model_type", "test-small", "--reward_arch", "test-small",
+         "--precision", "fp32", "--resolution", "64", "--tta_steps", "1",
+         "--sample_k", "2", "--prefix_length", "4", "--clip_length", "2",
+         "--output", str(tmp_path / "out")]
+    )
+    results = _json.load(open(tmp_path / "out" / "results_caption.json"))
+    assert results[0]["image_id"] == 42
+    cs = _json.load(open(tmp_path / "out" / "results_clipscore.json"))
+    assert list(cs.keys()) == ["COCO_val2014_000000000042.jpg"]
