@@ -627,12 +627,20 @@ void rlcf_generate_views_batch_u8(const uint8_t* images, int n, int h, int w, in
 // Patch-major batch API: emits the SAME views as the u8 API (identical RNG
 // stream) pre-patchified for two ViT patch sizes — out_p1/out_p2 are
 // [N, n_views, (R/p)^2, p*p*3] u8. Either may be null.
-void rlcf_generate_views_batch_patch_u8(const uint8_t* images, int n, int h, int w, int n_views,
-                                        int resolution, int augmix, float severity, float crop_min,
-                                        uint64_t seed, int p1, uint8_t* out_p1, int p2,
-                                        uint8_t* out_p2, int n_threads) {
+int rlcf_generate_views_batch_patch_u8(const uint8_t* images, int n, int h, int w, int n_views,
+                                       int resolution, int augmix, float severity, float crop_min,
+                                       uint64_t seed, int p1, uint8_t* out_p1, int p2,
+                                       uint8_t* out_p2, int n_threads) {
+  // Patch buffers only tile the image exactly when resolution % p == 0; a
+  // remainder would make the Python-allocated buffer ((R/p)^2 tokens)
+  // smaller than the image-size stride — refuse instead of corrupting heap.
+  if ((p1 > 0 && resolution % p1 != 0) || (p2 > 0 && resolution % p2 != 0)) return -1;
   const size_t in_stride = static_cast<size_t>(h) * w * 3;
-  const size_t out_stride = static_cast<size_t>(n_views) * resolution * resolution * 3;
+  // per-image stride of each patch buffer: n_views * (R/p)^2 * p*p*3
+  const size_t p1_img_stride =
+      p1 > 0 ? static_cast<size_t>(n_views) * (resolution / p1) * (resolution / p1) * p1 * p1 * 3 : 0;
+  const size_t p2_img_stride =
+      p2 > 0 ? static_cast<size_t>(n_views) * (resolution / p2) * (resolution / p2) * p2 * p2 * 3 : 0;
   if (n_threads <= 0) n_threads = std::max(1u, std::thread::hardware_concurrency());
   std::atomic<int> next(0);
   auto worker = [&]() {
@@ -641,13 +649,14 @@ void rlcf_generate_views_batch_patch_u8(const uint8_t* images, int n, int h, int
       if (i >= n) break;
       generate_views_one(images + i * in_stride, h, w, n_views, resolution, augmix, severity,
                          crop_min, seed * 0x9E3779B97F4A7C15ull + i, nullptr, nullptr, p1,
-                         (p1 > 0 && out_p1) ? out_p1 + i * out_stride : nullptr, p2,
-                         (p2 > 0 && out_p2) ? out_p2 + i * out_stride : nullptr);
+                         (p1 > 0 && out_p1) ? out_p1 + i * p1_img_stride : nullptr, p2,
+                         (p2 > 0 && out_p2) ? out_p2 + i * p2_img_stride : nullptr);
     }
   };
   std::vector<std::thread> threads;
   for (int t = 0; t < std::min(n_threads, n); ++t) threads.emplace_back(worker);
   for (auto& t : threads) t.join();
+  return 0;
 }
 
 // Eval transform: bicubic short-side resize + center crop + normalize.

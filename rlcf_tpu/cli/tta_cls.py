@@ -72,7 +72,7 @@ def main(argv=None):
     params, cfg = common.load_policy(args)
     reward = common.build_reward(args)
     kd_map = {"KD": "kd", "DKD": "dkd", "ATKD": "atkd"}
-    loss = kd_map[args.kd_loss] if args.loss in ("kd", "dkd", "atkd") else args.loss
+    loss = kd_map[args.kd_loss] if args.loss == "kd" else args.loss
     ecfg = EpisodeConfig(
         tta_steps=args.tta_steps,
         selection_p=args.selection_p,
@@ -158,6 +158,7 @@ def main(argv=None):
             gen is None
             and not args.cocoop
             and cfg.is_vit
+            and args.resolution % cfg.vision_patch_size == 0
             and getattr(clf, "_prepare_tokens", None) is not None
         )
 

@@ -81,8 +81,10 @@ def main(argv=None):
     save_hparams(args.output, vars(args), name="hparams_retrieval.json")
     params, cfg = common.load_policy(args)
     reward = common.build_reward(args)
+    # --loss selects the variant directly; plain "kd" additionally honors the
+    # reference's --kd_loss {KD,DKD,ATKD} switch (`TPT/params.py`).
     kd_map = {"KD": "kd", "DKD": "dkd", "ATKD": "atkd"}
-    loss = kd_map[args.kd_loss] if args.loss in ("kd", "dkd", "atkd") else args.loss
+    loss = kd_map[args.kd_loss] if args.loss == "kd" else args.loss
     ecfg = EpisodeConfig(
         tta_steps=args.tta_steps, lr=args.lr, weight_decay=args.weight_decay,
         sample_k=args.sample_k, adam_eps=1e-6, loss=loss,
@@ -116,12 +118,12 @@ def main(argv=None):
     import dataclasses as _dc
 
     if args.retrieval_task in ("image2text", "both"):
-        ecfg_i2t = _dc.replace(ecfg, sample_k=args.sample_k_i2t or args.sample_k)
+        ecfg_i2t = _dc.replace(ecfg, sample_k=args.sample_k_i2t if args.sample_k_i2t is not None else args.sample_k)
         tta = RetrievalTTA(params, cfg, reward, ecfg_i2t, direction="i2t", **momentum_kw).set_text_gallery(gallery.texts)
         queries = iter(images) if args.synthetic else (preprocess_pil(p, args.resolution) for p in gallery.image_paths)
         scores_i2t = tta.run(queries, n_img, n_txt, group_size=args.group_size)
     if args.retrieval_task in ("text2image", "both"):
-        ecfg_t2i = _dc.replace(ecfg, sample_k=args.sample_k_t2i or args.sample_k)
+        ecfg_t2i = _dc.replace(ecfg, sample_k=args.sample_k_t2i if args.sample_k_t2i is not None else args.sample_k)
         tta = RetrievalTTA(params, cfg, reward, ecfg_t2i, direction="t2i", **momentum_kw)
         tta.set_image_gallery(image_batches(), image_batches())
         tokens = tokenize(gallery.texts, truncate=True)

@@ -16,6 +16,7 @@ Functional equivalents of the reference policy wrappers' state machines
 from __future__ import annotations
 
 import dataclasses
+import functools as _functools
 from typing import Any, Callable, Tuple
 
 import jax
@@ -93,6 +94,27 @@ def momentum_update(state: MomentumState, adapted, momentum: float = 0.9999, upd
     return MomentumState(state.orig_params, state.reset_params, ema, counter)
 
 
+@_functools.partial(jax.jit, static_argnames=("m", "freq", "w"))
+def _momentum_fold(ema0, reset0, counter0, orig, stack, m, freq, w):
+    import jax.numpy as jnp
+
+    def step(carry, a_i):
+        ema, reset, counter = carry
+        ema = jax.tree_util.tree_map(lambda e, a: m * e + (1.0 - m) * a, ema, a_i)
+        counter = counter + 1
+        fire = counter >= freq
+        reset = jax.tree_util.tree_map(
+            lambda o, e, r: jnp.where(fire, (1.0 - w) * o + w * e, r), orig, ema, reset
+        )
+        counter = jnp.where(fire, 0, counter)
+        return (ema, reset, counter), None
+
+    (ema, reset, counter), _ = jax.lax.scan(
+        step, (ema0, reset0, jnp.asarray(counter0, jnp.int32)), stack
+    )
+    return ema, reset, counter
+
+
 def momentum_update_batch(
     state: MomentumState, adapted_stack, momentum: float = 0.9999, update_freq: int = 256, update_w: float = 1.0
 ) -> MomentumState:
@@ -101,31 +123,11 @@ def momentum_update_batch(
 
     Bit-identical to applying ``momentum_update`` sequentially (same fold
     order, mid-group re-anchors included); only the host<->device sync
-    pattern changes (one launch per group, one counter read-back).
+    pattern changes (one launch per group, one counter read-back). The scan
+    is a module-level jit (``_momentum_fold``) so repeated groups hit the
+    trace cache instead of re-tracing per call.
     """
-    import functools
-
-    import jax.numpy as jnp
-
-    @functools.partial(jax.jit, static_argnames=("m", "freq", "w"))
-    def fold(ema0, reset0, counter0, orig, stack, m, freq, w):
-        def step(carry, a_i):
-            ema, reset, counter = carry
-            ema = jax.tree_util.tree_map(lambda e, a: m * e + (1.0 - m) * a, ema, a_i)
-            counter = counter + 1
-            fire = counter >= freq
-            reset = jax.tree_util.tree_map(
-                lambda o, e, r: jnp.where(fire, (1.0 - w) * o + w * e, r), orig, ema, reset
-            )
-            counter = jnp.where(fire, 0, counter)
-            return (ema, reset, counter), None
-
-        (ema, reset, counter), _ = jax.lax.scan(
-            step, (ema0, reset0, jnp.asarray(counter0, jnp.int32)), stack
-        )
-        return ema, reset, counter
-
-    ema, reset, counter = fold(
+    ema, reset, counter = _momentum_fold(
         state.ema_params, state.reset_params, state.counter, state.orig_params, adapted_stack,
         m=momentum, freq=update_freq, w=update_w,
     )

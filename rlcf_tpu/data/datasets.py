@@ -176,12 +176,14 @@ class BongardHOIDataset:
         task = self.tasks[idx]
         # The reference shuffles each polarity with a fixed seed before the
         # support/query split (`hoi_dataset.py:84-89`): deterministic, but the
-        # query is not simply the file-order last sample.
+        # query is not simply the file-order last sample. A local Random(0)
+        # yields the identical shuffle without clobbering the process-global
+        # RNG state mid-run.
+        rng = _random.Random(0)
         pos = list(task["pos_samples"])
         neg = list(task["neg_samples"])
-        _random.seed(0)
-        _random.shuffle(pos)
-        _random.shuffle(neg)
+        rng.shuffle(pos)
+        rng.shuffle(neg)
         load = lambda rel: load_image(self.resolve(rel))
         return {
             "pos_support": [load(p) for p in pos[:-1]],

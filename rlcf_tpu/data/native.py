@@ -49,6 +49,7 @@ def _lib():
         ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_uint64,
         ctypes.c_int, u8p, ctypes.c_int, u8p, ctypes.c_int,
     ]
+    lib.rlcf_generate_views_batch_patch_u8.restype = ctypes.c_int
     lib.rlcf_preprocess_batch.argtypes = [
         u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p, ctypes.c_int,
     ]
@@ -128,6 +129,11 @@ def generate_views_native_patch_u8(
     device patch embedding is a single MXU matmul on a well-tiled layout
     (the [..., 3]-minor image layout tile-pads 42x on TPU).
     """
+    if resolution % p_policy or (p_reward and resolution % p_reward):
+        raise ValueError(
+            f"patch sizes must tile the resolution exactly: {resolution} vs "
+            f"policy {p_policy}" + (f", reward {p_reward}" if p_reward else "")
+        )
     images = np.ascontiguousarray(images, dtype=np.uint8)
     n, h, w, _ = images.shape
     t1, d1 = (resolution // p_policy) ** 2, p_policy * p_policy * 3
@@ -137,10 +143,12 @@ def generate_views_native_patch_u8(
         out2 = np.empty((n, n_views, t2, d2), np.uint8)
     else:
         out2 = out1  # dummy buffer; p2=0 disables the second output in C++
-    _lib().rlcf_generate_views_batch_patch_u8(
+    rc = _lib().rlcf_generate_views_batch_patch_u8(
         images, n, h, w, n_views, resolution, int(augmix), float(severity), float(crop_min),
         np.uint64(seed), p_policy, out1, p_reward, out2, n_threads,
     )
+    if rc != 0:
+        raise ValueError("native patch view generation rejected the patch/resolution combination")
     return (out1, out2) if p_reward else out1
 
 

@@ -184,11 +184,20 @@ CLIP_CHECKPOINT_SHA256 = {
 }
 
 
-def verify_checkpoint_sha256(path: str, arch: Optional[str] = None) -> bool:
-    """Verify a local OpenAI CLIP .pt against the published digest."""
+def _sha256_file(path: str) -> str:
+    """Chunked SHA256 (checkpoints are ~100 MB-1.7 GB; never read them whole)."""
     import hashlib
 
-    digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
+    h = hashlib.sha256()
+    with open(path, "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def verify_checkpoint_sha256(path: str, arch: Optional[str] = None) -> bool:
+    """Verify a local OpenAI CLIP .pt against the published digest."""
+    digest = _sha256_file(path)
     if arch is not None:
         return digest == CLIP_CHECKPOINT_SHA256.get(arch)
     return digest in CLIP_CHECKPOINT_SHA256.values()
@@ -208,9 +217,7 @@ def check_checkpoint_digest(path: str, arch: str):
     Parity target: the reference re-verifies cached downloads and refuses
     mismatches (`TPT/clip/clip.py:53-70`).
     """
-    import hashlib
-
-    digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
+    digest = _sha256_file(path)
     if digest == CLIP_CHECKPOINT_SHA256.get(arch):
         return "ok", digest
     for other, d in CLIP_CHECKPOINT_SHA256.items():

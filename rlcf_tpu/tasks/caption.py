@@ -466,8 +466,10 @@ class CaptionTTA:
     def _decode_and_retokenize(self, seqs_np):
         """OPT ids [K, L] -> texts + (opt tokens+mask padded, clip tokens)."""
         texts = self.tok.batch_decode(seqs_np, stop_id=self.ccfg.opt.eos_newline_id)
-        opt_tokens, opt_mask = self.tok.batch_encode(texts, pad_to=self.token_pad_len)
-        longest = max((len(self.tok.encode(t)) for t in texts), default=0)
+        opt_tokens, opt_mask, lengths = self.tok.batch_encode(
+            texts, pad_to=self.token_pad_len, return_lengths=True
+        )
+        longest = max(lengths, default=0)
         if longest > self.token_pad_len:
             import warnings
 

@@ -158,16 +158,23 @@ class Gpt2Tokenizer:
         raw = bytearray(self._u2b[ch] for ch in text if ch in self._u2b)
         return raw.decode("utf-8", errors="replace")
 
-    def batch_encode(self, texts: Sequence[str], pad_to: int | None = None):
-        """-> (ids [N, L] int32 padded with pad_id, mask [N, L] int32)."""
+    def batch_encode(self, texts: Sequence[str], pad_to: int | None = None, return_lengths: bool = False):
+        """-> (ids [N, L] int32 padded with pad_id, mask [N, L] int32[, true lengths]).
+
+        ``return_lengths`` also yields each text's UNTRUNCATED token count so
+        callers can detect pad_to overflow without re-encoding.
+        """
         encoded = [self.encode(t) for t in texts]
         L = pad_to or max(len(e) for e in encoded)
         ids = np.full((len(texts), L), self.pad_id, np.int32)
         mask = np.zeros((len(texts), L), np.int32)
+        lengths = [len(e) for e in encoded]
         for i, e in enumerate(encoded):
             e = e[:L]
             ids[i, : len(e)] = e
             mask[i, : len(e)] = 1
+        if return_lengths:
+            return ids, mask, lengths
         return ids, mask
 
     def batch_decode(self, ids_batch, stop_id: int | None = None) -> List[str]:

@@ -25,15 +25,19 @@ ANNOTATIONS_URL = "https://nocaps.s3.amazonaws.com/nocaps_val_4500_captions.json
 
 
 def _fetch(url: str, path: str, retries: int = 5) -> bool:
+    tmp = path + ".part"
     for attempt in range(retries):
         try:
             req = urllib.request.Request(url, headers={"User-Agent": "Mozilla/5.0"})
-            with urllib.request.urlopen(req, timeout=30) as src, open(path, "wb") as out:
+            with urllib.request.urlopen(req, timeout=30) as src, open(tmp, "wb") as out:
                 out.write(src.read())
+            os.replace(tmp, path)  # complete files only; partials never count as done
             return True
         except Exception as e:  # noqa: BLE001 - retry then report
             if attempt == retries - 1:
                 print(f"FAILED {url}: {e}")
+    if os.path.exists(tmp):
+        os.remove(tmp)
     return False
 
 
