@@ -53,7 +53,7 @@ def main(argv=None):
     if args.synthetic:
         ocfg = O.OPT_CONFIGS["test-tiny-opt"]
         clip_dim = 16
-        mcfg = M.MapperConfig(args.mapping_type, clip_dim=clip_dim, llm_dim=ocfg.hidden,
+        mcfg = M.MapperConfig(args.mapping_type, clip_dim=clip_dim, llm_dim=ocfg.embed_dim,
                               prefix_length=4, clip_length=2, num_layers=1, n_heads=2)
         rng = np.random.default_rng(0)
         n = 64
@@ -68,7 +68,7 @@ def main(argv=None):
         tokens = data["tokens"].astype(np.int32)
         mask = data["mask"].astype(np.int32)
         clip_dim = prefix.shape[1]
-        mcfg = M.MapperConfig(args.mapping_type, clip_dim=clip_dim, llm_dim=ocfg.hidden,
+        mcfg = M.MapperConfig(args.mapping_type, clip_dim=clip_dim, llm_dim=ocfg.embed_dim,
                               prefix_length=args.prefix_length, clip_length=args.clip_length)
 
     ccfg = Cap.CaptionModelConfig(mapper=mcfg, opt=ocfg, normalize_prefix=bool(args.normalize_prefix))

@@ -98,7 +98,7 @@ def main(argv=None):
     if args.synthetic:
         ocfg = O.OPT_CONFIGS["test-tiny-opt"]
         mcfg = M.MapperConfig(
-            args.mapping_type, clip_dim=clip_cfg.embed_dim, llm_dim=ocfg.hidden,
+            args.mapping_type, clip_dim=clip_cfg.embed_dim, llm_dim=ocfg.embed_dim,
             prefix_length=4, clip_length=2, num_layers=1, n_heads=2,
         )
         tok = _synthetic_tokenizer(os.path.join(args.output, "tok"))
@@ -106,7 +106,7 @@ def main(argv=None):
     else:
         ocfg = O.OPT_CONFIGS[args.llm]
         mcfg = M.MapperConfig(
-            args.mapping_type, clip_dim=clip_cfg.embed_dim, llm_dim=ocfg.hidden,
+            args.mapping_type, clip_dim=clip_cfg.embed_dim, llm_dim=ocfg.embed_dim,
             prefix_length=args.prefix_length, clip_length=args.clip_length,
         )
         from ..tokenizer_gpt2 import load_gpt2_tokenizer

@@ -39,12 +39,29 @@ class OPTConfig:
     pad_token_id: int = 1
     bos_token_id: int = 2
     eos_newline_id: int = 50118  # '\n' for the OPT tokenizer ("\n" eos, generate_opt.py:53)
+    # OPT-350m quirks (HF `word_embed_proj_dim` + `do_layer_norm_before`):
+    # embeddings/prefixes live in a smaller projection space bridged by
+    # project_in/project_out, blocks are POST-LN, and there is no final LN.
+    word_embed_proj_dim: Optional[int] = None  # None -> == hidden (no projection)
+    do_layer_norm_before: bool = True
+
+    @property
+    def embed_dim(self) -> int:
+        """Input-embedding dim — what mappers/prefix_embeds must produce
+        (`LLMModel.embedding_size`, `modules.py:205-207`)."""
+        return self.word_embed_proj_dim or self.hidden
 
 
 OPT_CONFIGS = {
     "opt-125m": OPTConfig(),
-    "opt-350m": OPTConfig(hidden=1024, n_layers=24, n_heads=16, ffn=4096),
+    "opt-350m": OPTConfig(hidden=1024, n_layers=24, n_heads=16, ffn=4096,
+                          word_embed_proj_dim=512, do_layer_norm_before=False),
+    "opt-1.3b": OPTConfig(hidden=2048, n_layers=24, n_heads=32, ffn=8192),
+    "opt-2.7b": OPTConfig(hidden=2560, n_layers=32, n_heads=32, ffn=10240),
     "test-tiny-opt": OPTConfig(vocab_size=256, hidden=32, n_layers=2, n_heads=2, ffn=64, max_positions=128, eos_newline_id=3),
+    "test-tiny-opt-350m": OPTConfig(vocab_size=256, hidden=32, n_layers=2, n_heads=2, ffn=64,
+                                    max_positions=128, eos_newline_id=3,
+                                    word_embed_proj_dim=16, do_layer_norm_before=False),
 }
 
 
@@ -72,13 +89,19 @@ def init_opt_params(rng, cfg: OPTConfig, dtype=jnp.float32):
         "fc2_w": norm(ks[3], shape(F, D)),
         "fc2_b": jnp.zeros(shape(D), dtype),
     }
-    return {
-        "embed_tokens": norm(ks[4], (cfg.vocab_size, D)),
+    E = cfg.embed_dim
+    params = {
+        "embed_tokens": norm(ks[4], (cfg.vocab_size, E)),
         "embed_positions": norm(ks[5], (cfg.max_positions + cfg.pos_offset, D)),
-        "final_ln_w": jnp.ones((D,), dtype),
-        "final_ln_b": jnp.zeros((D,), dtype),
         "blocks": blocks,
     }
+    if cfg.do_layer_norm_before:  # HF: final_layer_norm exists only pre-LN
+        params["final_ln_w"] = jnp.ones((D,), dtype)
+        params["final_ln_b"] = jnp.zeros((D,), dtype)
+    if E != D:
+        params["project_in"] = norm(ks[6], (E, D))
+        params["project_out"] = norm(ks[7], (D, E))
+    return params
 
 
 def _ln(x, w, b, eps=1e-5):
@@ -115,11 +138,33 @@ def _attn(x, p, cfg: OPTConfig, mask_bias, kv=None):
 
 
 def _layer(x, p, cfg, mask_bias, kv=None):
-    h, kv_new = _attn(_ln(x, p["ln1_w"], p["ln1_b"]), p, cfg, mask_bias, kv)
-    x = x + h
-    h = _ln(x, p["ln2_w"], p["ln2_b"])
-    h = jax.nn.relu(h @ p["fc1_w"] + p["fc1_b"]) @ p["fc2_w"] + p["fc2_b"]
-    return x + h, kv_new
+    """OPTDecoderLayer: pre-LN (125m/1.3b/...) or post-LN (350m)."""
+    if cfg.do_layer_norm_before:
+        h, kv_new = _attn(_ln(x, p["ln1_w"], p["ln1_b"]), p, cfg, mask_bias, kv)
+        x = x + h
+        h = _ln(x, p["ln2_w"], p["ln2_b"])
+        h = jax.nn.relu(h @ p["fc1_w"] + p["fc1_b"]) @ p["fc2_w"] + p["fc2_b"]
+        return x + h, kv_new
+    h, kv_new = _attn(x, p, cfg, mask_bias, kv)
+    x = _ln(x + h, p["ln1_w"], p["ln1_b"])
+    h = jax.nn.relu(x @ p["fc1_w"] + p["fc1_b"]) @ p["fc2_w"] + p["fc2_b"]
+    return _ln(x + h, p["ln2_w"], p["ln2_b"]), kv_new
+
+
+def _embed_in(params, x):
+    """Proj-space embeddings -> hidden space (`modeling_opt.py` project_in)."""
+    if "project_in" in params:
+        return jnp.dot(x, params["project_in"], preferred_element_type=jnp.float32).astype(x.dtype)
+    return x
+
+
+def _head(params, cfg: OPTConfig, x):
+    """Final LN (pre-LN models only) + project_out + tied lm head."""
+    if cfg.do_layer_norm_before:
+        x = _ln(x, params["final_ln_w"], params["final_ln_b"])
+    if "project_out" in params:
+        x = jnp.dot(x, params["project_out"], preferred_element_type=jnp.float32).astype(x.dtype)
+    return jnp.dot(x, params["embed_tokens"].T, preferred_element_type=jnp.float32)
 
 
 def _positions_from_mask(mask, offset):
@@ -146,7 +191,7 @@ def forward(params, cfg: OPTConfig, tokens=None, prefix_embeds=None, attention_m
         embeds.append(prefix_embeds)
     if tokens is not None:
         embeds.append(params["embed_tokens"][tokens])
-    x = jnp.concatenate(embeds, axis=1)
+    x = _embed_in(params, jnp.concatenate(embeds, axis=1))
     B, T, D = x.shape
     if attention_mask is None:
         attention_mask = jnp.ones((B, T), jnp.int32)
@@ -162,8 +207,7 @@ def forward(params, cfg: OPTConfig, tokens=None, prefix_embeds=None, attention_m
         return h, None
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
-    x = _ln(x, params["final_ln_w"], params["final_ln_b"])
-    return jnp.dot(x, params["embed_tokens"].T, preferred_element_type=jnp.float32)
+    return _head(params, cfg, x)
 
 
 # ---------------------------------------------------------------------------
@@ -177,12 +221,13 @@ def _prefill(params, cfg: OPTConfig, prefix_embeds, max_len: int):
     Returns (logits_last [B, V], cache, cache_len). Cache arrays are
     [L, B, H, max_len, hd], prefix written at positions [0, P).
     """
-    B, P, D = prefix_embeds.shape
+    B, P = prefix_embeds.shape[:2]
+    D = cfg.hidden
     H = cfg.n_heads
     hd = D // H
     mask = jnp.ones((B, P), jnp.int32)
     pos = _positions_from_mask(mask, cfg.pos_offset)
-    x = prefix_embeds + params["embed_positions"][pos]
+    x = _embed_in(params, prefix_embeds) + params["embed_positions"][pos]
     causal = jnp.triu(jnp.full((P, P), -1e9, jnp.float32), k=1)[None, None]
 
     def body(h, layer_params):
@@ -193,8 +238,7 @@ def _prefill(params, cfg: OPTConfig, prefix_embeds, max_len: int):
     # k_stack: [L, B, H, P, hd] -> pad to max_len
     pad = [(0, 0), (0, 0), (0, 0), (0, max_len - P), (0, 0)]
     cache = (jnp.pad(k_stack, pad), jnp.pad(v_stack, pad))
-    x = _ln(x, params["final_ln_w"], params["final_ln_b"])
-    logits_last = jnp.dot(x[:, -1], params["embed_tokens"].T, preferred_element_type=jnp.float32)
+    logits_last = _head(params, cfg, x[:, -1:])[:, 0]
     return logits_last, cache, P
 
 
@@ -205,7 +249,7 @@ def _decode_step(params, cfg: OPTConfig, token, cache, t):
     """
     k_cache, v_cache = cache
     L, B, H, M, hd = k_cache.shape
-    x = params["embed_tokens"][token][:, None, :]  # [B, 1, D]
+    x = _embed_in(params, params["embed_tokens"][token][:, None, :])  # [B, 1, D]
     x = x + params["embed_positions"][t + cfg.pos_offset][None, None, :]
     # bias over cache positions: attend to [0, t]
     valid = (jnp.arange(M) <= t)[None, None, None, :]
@@ -215,7 +259,7 @@ def _decode_step(params, cfg: OPTConfig, token, cache, t):
         h = carry
         layer_params, k_l, v_l = inp
         # write new kv at position t, then attend over full cache row
-        h_ln = _ln(h, layer_params["ln1_w"], layer_params["ln1_b"])
+        h_ln = _ln(h, layer_params["ln1_w"], layer_params["ln1_b"]) if cfg.do_layer_norm_before else h
         Bq, T1, D = h_ln.shape
         q = (h_ln @ layer_params["q_w"] + layer_params["q_b"]) * (hd**-0.5)
         k_new = h_ln @ layer_params["k_w"] + layer_params["k_b"]
@@ -230,14 +274,17 @@ def _decode_step(params, cfg: OPTConfig, token, cache, t):
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v_l, preferred_element_type=jnp.float32).astype(h.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(Bq, 1, D)
         out = out @ layer_params["out_w"] + layer_params["out_b"]
-        h = h + out
-        h2 = _ln(h, layer_params["ln2_w"], layer_params["ln2_b"])
-        h2 = jax.nn.relu(h2 @ layer_params["fc1_w"] + layer_params["fc1_b"]) @ layer_params["fc2_w"] + layer_params["fc2_b"]
-        return h + h2, (k_l, v_l)
+        if cfg.do_layer_norm_before:
+            h = h + out
+            h2 = _ln(h, layer_params["ln2_w"], layer_params["ln2_b"])
+            h2 = jax.nn.relu(h2 @ layer_params["fc1_w"] + layer_params["fc1_b"]) @ layer_params["fc2_w"] + layer_params["fc2_b"]
+            return h + h2, (k_l, v_l)
+        h = _ln(h + out, layer_params["ln1_w"], layer_params["ln1_b"])
+        h2 = jax.nn.relu(h @ layer_params["fc1_w"] + layer_params["fc1_b"]) @ layer_params["fc2_w"] + layer_params["fc2_b"]
+        return _ln(h + h2, layer_params["ln2_w"], layer_params["ln2_b"]), (k_l, v_l)
 
     x, (k_cache, v_cache) = jax.lax.scan(body, x, (params["blocks"], k_cache, v_cache))
-    x = _ln(x, params["final_ln_w"], params["final_ln_b"])
-    logits = jnp.dot(x[:, 0], params["embed_tokens"].T, preferred_element_type=jnp.float32)
+    logits = _head(params, cfg, x)[:, 0]
     return logits, (k_cache, v_cache)
 
 
@@ -386,12 +433,20 @@ def convert_opt_state_dict(sd: Dict, dtype=np.float32) -> Tuple[dict, OPTConfig]
     pre = "model.decoder." if any(k.startswith("model.decoder.") for k in sd) else "decoder."
     get = lambda k: np_(sd[pre + k])
     n_layers = len({m.group(1) for k in sd for m in [re.search(r"\.layers\.(\d+)\.", k)] if m})
-    hidden = get("embed_tokens.weight").shape[1]
+    embed_dim = get("embed_tokens.weight").shape[1]
+    # OPT-350m: embed_tokens live in word_embed_proj_dim and project_in maps
+    # to the transformer width; its presence also implies post-LN blocks and
+    # no decoder-level final_layer_norm (HF OPTConfig semantics).
+    has_proj = (pre + "project_in.weight") in sd
+    hidden = get("project_in.weight").shape[0] if has_proj else embed_dim
+    has_final_ln = (pre + "final_layer_norm.weight") in sd
     vocab = get("embed_tokens.weight").shape[0]
     ffn = get("layers.0.fc1.weight").shape[0]
     max_pos = get("embed_positions.weight").shape[0] - 2
     cfg = OPTConfig(vocab_size=vocab, hidden=hidden, n_layers=n_layers, ffn=ffn, max_positions=max_pos,
-                    n_heads={768: 12, 1024: 16, 2048: 32}.get(hidden, hidden // 64))
+                    n_heads={768: 12, 1024: 16, 2048: 32, 2560: 32}.get(hidden, hidden // 64),
+                    word_embed_proj_dim=embed_dim if has_proj else None,
+                    do_layer_norm_before=has_final_ln)
 
     T = np.transpose
     lay = lambda i, name: np_(sd[f"{pre}layers.{i}.{name}"])
@@ -417,8 +472,12 @@ def convert_opt_state_dict(sd: Dict, dtype=np.float32) -> Tuple[dict, OPTConfig]
     params = {
         "embed_tokens": jnp.asarray(get("embed_tokens.weight")),
         "embed_positions": jnp.asarray(get("embed_positions.weight")),
-        "final_ln_w": jnp.asarray(get("final_layer_norm.weight")),
-        "final_ln_b": jnp.asarray(get("final_layer_norm.bias")),
         "blocks": blocks,
     }
+    if has_final_ln:
+        params["final_ln_w"] = jnp.asarray(get("final_layer_norm.weight"))
+        params["final_ln_b"] = jnp.asarray(get("final_layer_norm.bias"))
+    if has_proj:
+        params["project_in"] = jnp.asarray(T(get("project_in.weight")))
+        params["project_out"] = jnp.asarray(T(get("project_out.weight")))
     return params, cfg

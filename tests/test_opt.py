@@ -147,3 +147,62 @@ def test_nucleus_generate_shapes(hf_tiny):
     # different rng -> different samples
     seqs2 = O.nucleus_generate(params, cfg, prefix, jax.random.PRNGKey(1), num_captions=4, max_new_tokens=6)
     assert (np.asarray(seqs) != np.asarray(seqs2)).any()
+
+
+@pytest.fixture(scope="module")
+def hf_tiny_350m():
+    """OPT-350m-style quirks: word_embed_proj_dim != hidden, post-LN, no final LN."""
+    from transformers import OPTConfig as HFConfig, OPTForCausalLM
+
+    torch.manual_seed(1)
+    hf_cfg = HFConfig(
+        vocab_size=256, hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        ffn_dim=64, max_position_embeddings=128, do_layer_norm_before=False,
+        word_embed_proj_dim=16, pad_token_id=1, bos_token_id=2, eos_token_id=3,
+        activation_function="relu", dropout=0.0,
+    )
+    model = OPTForCausalLM(hf_cfg).eval()
+    params, cfg = O.convert_opt_state_dict(model.state_dict())
+    cfg = O.OPTConfig(**{**cfg.__dict__, "n_heads": 2, "eos_newline_id": 3})
+    assert cfg.word_embed_proj_dim == 16 and not cfg.do_layer_norm_before
+    return model, params, cfg
+
+
+def test_350m_forward_parity_tokens(hf_tiny_350m):
+    model, params, cfg = hf_tiny_350m
+    tokens = np.array([[2, 5, 9, 100, 42], [2, 7, 7, 30, 11]], dtype=np.int64)
+    with torch.no_grad():
+        ref = model(input_ids=torch.from_numpy(tokens)).logits.numpy()
+    mine = np.asarray(O.forward(params, cfg, tokens=tokens.astype(np.int32)))
+    np.testing.assert_allclose(mine, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_350m_forward_parity_with_prefix_and_mask(hf_tiny_350m):
+    """Prefix embeds live in the PROJECTION space (16-d) like HF inputs_embeds."""
+    model, params, cfg = hf_tiny_350m
+    rng = np.random.default_rng(0)
+    prefix = rng.normal(size=(2, 3, 16)).astype(np.float32) * 0.1
+    tokens = np.array([[2, 5, 9, 1], [2, 7, 7, 7]], dtype=np.int64)
+    mask = np.array([[1, 1, 1, 1, 1, 1, 0], [1, 1, 1, 1, 1, 1, 1]], dtype=np.int64)
+    with torch.no_grad():
+        tok_embeds = model.get_input_embeddings()(torch.from_numpy(tokens))
+        embeds = torch.cat([torch.from_numpy(prefix), tok_embeds], dim=1)
+        ref = model(inputs_embeds=embeds, attention_mask=torch.from_numpy(mask)).logits.numpy()
+    mine = np.asarray(O.forward(params, cfg, tokens=tokens.astype(np.int32),
+                                prefix_embeds=jnp.asarray(prefix),
+                                attention_mask=jnp.asarray(mask.astype(np.int32))))
+    np.testing.assert_allclose(mine, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_350m_beam_matches_hf(hf_tiny_350m):
+    model, params, cfg = hf_tiny_350m
+    rng = np.random.default_rng(3)
+    prefix_np = rng.normal(size=(1, 4, 16)).astype(np.float32) * 0.1
+    with torch.no_grad():
+        ref = model.generate(
+            inputs_embeds=torch.from_numpy(prefix_np), max_new_tokens=4,
+            do_sample=False, num_beams=3, num_return_sequences=3, min_length=0,
+            eos_token_id=999, early_stopping=False, length_penalty=1.0,
+        ).numpy()
+    seqs, _ = O.beam_generate(params, cfg, jnp.asarray(prefix_np), num_beams=3, max_new_tokens=4, min_length=0, eos_id=999)
+    np.testing.assert_array_equal(np.asarray(seqs)[0], ref)
