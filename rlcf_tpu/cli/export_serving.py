@@ -28,6 +28,9 @@ def get_args(argv=None):
                    help="comma-separated lowering targets, e.g. 'tpu' or 'tpu,cpu' (default: current backend)")
     p.add_argument("--views_dtype", default="float32", choices=["float32", "uint8"],
                    help="serving view input dtype (uint8 = raw pixels, normalized in-graph)")
+    p.add_argument("--input", default="images", choices=["images", "tokens"],
+                   help="'tokens' exports the patch-major hot path (u8 policy tokens in, "
+                   "reward depatchified in-graph; ViT policies only)")
     return p.parse_args(argv)
 
 
@@ -51,12 +54,21 @@ def main(argv=None):
     classnames = ["class_%d" % i for i in range(10)] if set_id == "synthetic" else get_classnames(set_id)
     clf = PromptTTAClassifier(params, cfg, reward, ecfg, ctx_init=args.ctx_init or "a photo of a").setup(classnames)
 
-    shape = (args.episode_group, args.batch_size, args.resolution, args.resolution, 3)
-    dtype = jnp.uint8 if args.views_dtype == "uint8" else jnp.float32
     platforms = args.platforms.split(",") if args.platforms else None
-    blob = export_serving(clf.serving_fn(), clf.serving_example_args(shape, views_dtype=dtype), platforms=platforms)
+    if args.input == "tokens":
+        p_sz = cfg.vision_patch_size
+        if args.resolution % p_sz:
+            raise SystemExit(f"--input tokens needs resolution % patch == 0 ({args.resolution} vs {p_sz})")
+        shape = (args.episode_group, args.batch_size, (args.resolution // p_sz) ** 2, p_sz * p_sz * 3)
+        blob = export_serving(clf.serving_fn_tokens(), clf.serving_example_args_tokens(shape), platforms=platforms)
+        desc = f"policy tokens {shape} uint8"
+    else:
+        shape = (args.episode_group, args.batch_size, args.resolution, args.resolution, 3)
+        dtype = jnp.uint8 if args.views_dtype == "uint8" else jnp.float32
+        blob = export_serving(clf.serving_fn(), clf.serving_example_args(shape, views_dtype=dtype), platforms=platforms)
+        desc = f"views {shape} {args.views_dtype}"
     save_exported(args.out, blob)
-    print(f"exported fused episode ({len(classnames)} classes, views {shape} {args.views_dtype}) "
+    print(f"exported fused episode ({len(classnames)} classes, {desc}) "
           f"-> {args.out} ({len(blob)/1e6:.2f} MB)")
 
 

@@ -480,6 +480,37 @@ class PromptTTAClassifier:
             jax.ShapeDtypeStruct(tuple(views_shape), views_dtype),
         )
 
+    def serving_fn_tokens(self):
+        """Token-input serving variant (the production hot path).
+
+        (cparams, rparams, trainable0, pt_args, tf0, r_feats,
+        policy_tokens u8 [N, B, T, p²·3]) -> logits [N, C]. Patch-major u8
+        input rides the fast transfer layout; the reward consumes the
+        depatchified selected views, so any reward arch works.
+        """
+        if self._prepare_tokens is None:
+            raise ValueError("token serving needs a ViT policy and a single reward model")
+        prepare_tokens, episodes = self._prepare_tokens, self._episodes
+
+        def serve(cparams, rparams, trainable0, pt_args, tf0, r_feats, policy_tokens):
+            img_feats, sel, r_sim = prepare_tokens(cparams, rparams, tf0, r_feats, policy_tokens)
+            logits, _ = episodes(cparams, trainable0, pt_args, tf0, img_feats, sel, r_sim)
+            return logits
+
+        return serve
+
+    def serving_example_args_tokens(self, tokens_shape, tokens_dtype=jnp.uint8):
+        """Example-argument tuple matching ``serving_fn_tokens``."""
+        return (
+            self.clip_params,
+            self._reward_params_arg,
+            self._trainable0,
+            self._pt_args,
+            self._tf0,
+            self._reward_feats_arg,
+            jax.ShapeDtypeStruct(tuple(tokens_shape), tokens_dtype),
+        )
+
 
 # ---------------------------------------------------------------------------
 # Encoder TTA: `TPT/tune_cls_rl.py` (CLIPCLS_TTA) — tune the visual tower

@@ -73,3 +73,22 @@ def test_export_shape_mismatch_fails():
     wrong_views = jnp.zeros((3, 8, 32, 32, 3), jnp.float32)  # N=3 != exported N=2
     with pytest.raises(Exception):
         np.asarray(call(*clf.serving_example_args((2, 8, 32, 32, 3))[:-1], wrong_views))
+
+
+def test_serving_export_tokens_roundtrip(tmp_path):
+    """Token-input serving artifact == adapt_tokens on the same u8 views."""
+    from rlcf_tpu.models.clip import patch_tokens_from_images
+
+    clf = _tiny_clf()
+    rng = np.random.default_rng(1)
+    u8 = rng.integers(0, 256, size=(2, 8, 32, 32, 3), dtype=np.uint8)
+    ptoks = np.stack([patch_tokens_from_images(v, 16) for v in u8])
+
+    blob = export_serving(clf.serving_fn_tokens(), clf.serving_example_args_tokens(ptoks.shape))
+    path = str(tmp_path / "episode_tokens.rlcfx")
+    save_exported(path, blob)
+    call = load_exported(path)
+
+    served = np.asarray(call(*clf.serving_example_args_tokens(ptoks.shape)[:-1], jnp.asarray(ptoks)))
+    direct, _ = clf.adapt_tokens(ptoks)
+    np.testing.assert_allclose(served, np.asarray(direct), atol=1e-5)
