@@ -67,6 +67,7 @@ def main():
         shard = lambda v: jax.device_put(jnp.asarray(v), data_sharding)
         print(f"# mesh: dp={n_devices}", file=sys.stderr)
     else:
+        mesh = None
         shard = lambda v: v
 
     pcfg = C.get_config("ViT-B/16")
@@ -80,7 +81,7 @@ def main():
 
     reward = ClipReward(rparams, rcfg, RewardConfig(sample_k=3))
     ecfg = EpisodeConfig(tta_steps=3, selection_p=0.1, lr=7e-3, sample_k=3)
-    clf = PromptTTAClassifier(pparams, pcfg, reward, ecfg, ctx_init="a photo of a")
+    clf = PromptTTAClassifier(pparams, pcfg, reward, ecfg, ctx_init="a photo of a", mesh=mesh)
     t0 = time.time()
     clf.setup(get_classnames("A"))  # 200 classes, the ImageNet-A flagship set
     print(f"# setup {time.time()-t0:.0f}s", file=sys.stderr)

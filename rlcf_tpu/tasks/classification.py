@@ -169,7 +169,7 @@ class PromptTTAClassifier:
 
     def __init__(
         self, clip_params, clip_cfg, reward, ecfg, ctx_init="a photo of a", n_ctx=4, ctx0=None,
-        learned_cls: bool = False,
+        learned_cls: bool = False, mesh=None,
     ):
         from ..core.episode import make_tta_episode
         from ..core import prompt as P
@@ -182,6 +182,12 @@ class PromptTTAClassifier:
         self.n_ctx = n_ctx
         self.ctx0_override = ctx0
         self.learned_cls = learned_cls  # trainable class token (Bongard mode)
+        # Multi-chip: a jax Mesh with ("dp", "tp") axes. Class-axis arrays
+        # (prompt template, text/reward class features) are placed sharded
+        # over tp and episode batches over dp; XLA/GSPMD inserts the
+        # collectives (SURVEY §2.5's "shard the class/gallery axis" design —
+        # annotate shardings, no hand-written comms).
+        self.mesh = mesh
         self._make_tta_episode = make_tta_episode
         self._P = P
         self.prompt_state = None
@@ -373,6 +379,31 @@ class PromptTTAClassifier:
             return img_feats, sel, r_sim
 
         self._prepare_tokens = prepare_tokens if token_mode_ok else None
+
+        # Multi-chip placement: class-axis arrays sharded over tp (replicated
+        # over dp); GSPMD propagates the shardings through prepare/episodes
+        # and inserts the all-gathers where the full class axis is needed
+        # (entropy/top-k). Falls back to replication when the class count
+        # doesn't tile the tp axis.
+        if self.mesh is not None and "tp" in self.mesh.shape:
+            from jax.sharding import NamedSharding, PartitionSpec as Spec
+
+            tp = self.mesh.shape["tp"]
+            n_cls = pt.fixed_embed.shape[0]
+            if n_cls % tp == 0:
+                cls_sh = NamedSharding(self.mesh, Spec("tp"))
+                pt_args = {
+                    k: jax.device_put(v, cls_sh)
+                    if k in ("fixed_embed", "ctx_map", "eot_idx", "cls_mask") and v is not None
+                    else v
+                    for k, v in pt_args.items()
+                }
+                tf0 = jax.device_put(tf0, cls_sh)
+                if not is_ensemble:
+                    reward_feats_arg = jax.device_put(reward_feats_arg, cls_sh)
+            else:
+                print(f"NOTE: {n_cls} classes not divisible by tp={tp}; class axis replicated")
+
         self._tf0 = tf0
         self._trainable0 = trainable0
         self._pt_args = pt_args
@@ -394,6 +425,12 @@ class PromptTTAClassifier:
         if isinstance(views_batch, np.ndarray) and views_batch.dtype == np.uint8:
             views_shape = views_batch.shape
             views_batch = jax.device_put(np.ascontiguousarray(views_batch).reshape(-1))
+        elif self.mesh is not None and "dp" in self.mesh.shape and getattr(views_batch, "ndim", 0) == 5:
+            from jax.sharding import NamedSharding, PartitionSpec as Spec
+
+            views_batch = jax.device_put(
+                jnp.asarray(views_batch), NamedSharding(self.mesh, Spec("dp"))
+            )
         img_feats, sel, r_sim = self._prepare(
             self.clip_params, self._reward_params_arg, self._tf0, self._reward_feats_arg,
             jnp.asarray(views_batch), views_shape=views_shape,
@@ -439,9 +476,17 @@ class PromptTTAClassifier:
                     f"({self.reward.cfg.image_resolution}px)"
                 )
             reward_tokens = jnp.asarray(reward_tokens)
+        policy_tokens = jnp.asarray(policy_tokens)
+        if self.mesh is not None and "dp" in self.mesh.shape:
+            from jax.sharding import NamedSharding, PartitionSpec as Spec
+
+            dp_sh = NamedSharding(self.mesh, Spec("dp"))
+            policy_tokens = jax.device_put(policy_tokens, dp_sh)
+            if reward_tokens is not None:
+                reward_tokens = jax.device_put(reward_tokens, dp_sh)
         img_feats, sel, r_sim = self._prepare_tokens(
             self.clip_params, self._reward_params_arg, self._tf0, self._reward_feats_arg,
-            jnp.asarray(policy_tokens), reward_tokens,
+            policy_tokens, reward_tokens,
         )
         logits, losses = self._episodes(
             self.clip_params, self._trainable0, self._pt_args, self._tf0, img_feats, sel, r_sim

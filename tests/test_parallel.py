@@ -183,3 +183,46 @@ def test_tp_sharded_text_features_match_unsharded():
     g_ref = jax.grad(loss_ref)(pt.ctx0)
     # sharded reductions reorder fp32 sums
     np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_ref), rtol=2e-3, atol=1e-4)
+
+
+def test_prompt_classifier_on_mesh_matches_unsharded():
+    """PromptTTAClassifier(mesh=dp x tp) == unsharded on the virtual 8-CPU mesh.
+
+    Class-axis arrays shard over tp, episode batches over dp; GSPMD inserts
+    the collectives. Results must match the single-device path bitwise-close.
+    """
+    import jax
+    import numpy as np
+    from rlcf_tpu.core.episode import EpisodeConfig
+    from rlcf_tpu.core.reward import ClipReward, RewardConfig
+    from rlcf_tpu.models import clip as C
+    from rlcf_tpu.parallel.mesh import make_mesh
+    from rlcf_tpu.tasks.classification import PromptTTAClassifier
+
+    cfg = C.ClipConfig("tp-mesh-p", 16, 32, 1, 32, 16, 32, 1, vision_heads_override=2, text_heads_override=2)
+    params = C.init_clip_params(jax.random.PRNGKey(0), cfg)
+    reward = ClipReward(C.init_clip_params(jax.random.PRNGKey(1), cfg), cfg, RewardConfig(sample_k=2))
+    ecfg = EpisodeConfig(tta_steps=2, selection_p=0.25, sample_k=2)
+    classnames = ["cat", "dog", "bird", "car", "tree", "boat", "fish", "lamp"]  # 8 % tp == 0
+
+    rng = np.random.default_rng(0)
+    views = rng.normal(size=(4, 8, 32, 32, 3)).astype(np.float32)
+
+    base = PromptTTAClassifier(params, cfg, reward, ecfg).setup(classnames)
+    mesh = make_mesh(tp=2)
+    assert mesh.shape["dp"] * mesh.shape["tp"] == 8
+    sharded = PromptTTAClassifier(params, cfg, reward, ecfg, mesh=mesh).setup(classnames)
+
+    lg_base, aux_b = base.adapt(views)
+    lg_mesh, aux_m = sharded.adapt(views)
+    np.testing.assert_array_equal(np.asarray(aux_b["selected"]), np.asarray(aux_m["selected"]))
+    np.testing.assert_allclose(np.asarray(lg_mesh), np.asarray(lg_base), rtol=2e-4, atol=2e-4)
+
+    # token path on the mesh too
+    from rlcf_tpu.models.clip import patch_tokens_from_images
+
+    u8 = rng.integers(0, 256, size=(4, 8, 32, 32, 3), dtype=np.uint8)
+    ptoks = np.stack([patch_tokens_from_images(v, 16) for v in u8])
+    lg_tok_base, _ = base.adapt_tokens(ptoks)
+    lg_tok_mesh, _ = sharded.adapt_tokens(ptoks)
+    np.testing.assert_allclose(np.asarray(lg_tok_mesh), np.asarray(lg_tok_base), rtol=2e-4, atol=2e-4)
