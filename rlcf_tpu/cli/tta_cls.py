@@ -41,6 +41,11 @@ def get_args(argv=None):
         "(`custom_clip.py:350-355`), 0 = fixed ['True','False'] prompts",
     )
     p.add_argument(
+        "--tp", type=int, default=1,
+        help="class-axis tensor-parallel width; with >1 devices a (dp, tp) "
+        "mesh shards episode batches over dp and the class axis over tp",
+    )
+    p.add_argument(
         "--viewgen", default="device", choices=["device", "native"],
         help="AugMix backend: 'device' = jitted TPU pipeline (default); 'native' = "
         "C++ host pipeline emitting uint8 (normalized on device) — overlaps with "
@@ -99,8 +104,15 @@ def main(argv=None):
         )
     else:
         ctx0 = load_coop_ctx(args.load) if args.load else None
+        mesh = None
+        if args.tp > 1:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(tp=args.tp)
+            print(f"mesh: {dict(mesh.shape)}")
         clf = PromptTTAClassifier(
-            params, cfg, reward, ecfg, ctx_init=args.ctx_init or "a photo of a", n_ctx=args.n_ctx, ctx0=ctx0
+            params, cfg, reward, ecfg, ctx_init=args.ctx_init or "a photo of a", n_ctx=args.n_ctx, ctx0=ctx0,
+            mesh=mesh,
         )
     if args.viewgen == "native":
         from ..data import native as native_mod

@@ -425,7 +425,12 @@ class PromptTTAClassifier:
         if isinstance(views_batch, np.ndarray) and views_batch.dtype == np.uint8:
             views_shape = views_batch.shape
             views_batch = jax.device_put(np.ascontiguousarray(views_batch).reshape(-1))
-        elif self.mesh is not None and "dp" in self.mesh.shape and getattr(views_batch, "ndim", 0) == 5:
+        elif (
+            self.mesh is not None
+            and "dp" in self.mesh.shape
+            and getattr(views_batch, "ndim", 0) == 5
+            and views_batch.shape[0] % self.mesh.shape["dp"] == 0
+        ):
             from jax.sharding import NamedSharding, PartitionSpec as Spec
 
             views_batch = jax.device_put(
@@ -477,7 +482,11 @@ class PromptTTAClassifier:
                 )
             reward_tokens = jnp.asarray(reward_tokens)
         policy_tokens = jnp.asarray(policy_tokens)
-        if self.mesh is not None and "dp" in self.mesh.shape:
+        if (
+            self.mesh is not None
+            and "dp" in self.mesh.shape
+            and policy_tokens.shape[0] % self.mesh.shape["dp"] == 0
+        ):
             from jax.sharding import NamedSharding, PartitionSpec as Spec
 
             dp_sh = NamedSharding(self.mesh, Spec("dp"))

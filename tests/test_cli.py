@@ -122,3 +122,16 @@ def test_tta_caption_dataset_mode_ids(tmp_path):
     assert results[0]["image_id"] == 42
     cs = _json.load(open(tmp_path / "out" / "results_clipscore.json"))
     assert list(cs.keys()) == ["COCO_val2014_000000000042.jpg"]
+
+
+def test_tta_cls_cli_tp_mesh(tmp_path):
+    """--tp 2 runs the sharded classifier on the virtual 8-device mesh."""
+    from rlcf_tpu.cli import tta_cls
+
+    r = tta_cls.main(
+        [".", "--test_sets", "synthetic", "--limit", "4", "--arch", "test-small",
+         "--reward_arch", "test-small", "--precision", "fp32", "--resolution", "64",
+         "--batch_size", "4", "--tta_steps", "1", "--sample_k", "2", "--tp", "2",
+         "--ctx_init", "a_photo_of_a", "--episode_group", "4", "--output", str(tmp_path)]
+    )
+    assert 0 <= r["synthetic"]["top1"] <= 100
