@@ -56,6 +56,10 @@ def main(argv=None):
 
     platforms = args.platforms.split(",") if args.platforms else None
     if args.input == "tokens":
+        if not cfg.is_vit:
+            raise SystemExit("--input tokens requires a ViT policy (ResNets keep the image input)")
+        if args.views_dtype != "float32":
+            print("NOTE: --views_dtype is ignored with --input tokens (tokens are always uint8)")
         p_sz = cfg.vision_patch_size
         if args.resolution % p_sz:
             raise SystemExit(f"--input tokens needs resolution % patch == 0 ({args.resolution} vs {p_sz})")

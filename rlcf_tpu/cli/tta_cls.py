@@ -88,7 +88,15 @@ def main(argv=None):
         min_entropy_reg=bool(args.min_entropy_reg),
         min_entropy_w=args.min_entropy_w,
     )
+    mesh = None
+    if args.tp > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(tp=args.tp)
+        print(f"mesh: {dict(mesh.shape)}")
     if args.cocoop:
+        if mesh is not None:
+            raise SystemExit("--tp > 1 is not supported with --cocoop (prompt-TTA only)")
         from ..tasks.classification import CoCoOpTTAClassifier, convert_cocoop_checkpoint
 
         ctx0 = meta_net = None
@@ -104,12 +112,6 @@ def main(argv=None):
         )
     else:
         ctx0 = load_coop_ctx(args.load) if args.load else None
-        mesh = None
-        if args.tp > 1:
-            from ..parallel.mesh import make_mesh
-
-            mesh = make_mesh(tp=args.tp)
-            print(f"mesh: {dict(mesh.shape)}")
         clf = PromptTTAClassifier(
             params, cfg, reward, ecfg, ctx_init=args.ctx_init or "a photo of a", n_ctx=args.n_ctx, ctx0=ctx0,
             mesh=mesh,

@@ -159,8 +159,12 @@ def _embed_in(params, x):
 
 
 def _head(params, cfg: OPTConfig, x):
-    """Final LN (pre-LN models only) + project_out + tied lm head."""
-    if cfg.do_layer_norm_before:
+    """Final LN (pre-LN models only) + project_out + tied lm head.
+
+    Keyed on the PARAM's presence, not cfg: pre-LN checkpoints saved with
+    HF's ``_remove_final_layer_norm`` quirk have pre-LN blocks but no final
+    LN tensor."""
+    if "final_ln_w" in params:
         x = _ln(x, params["final_ln_w"], params["final_ln_b"])
     if "project_out" in params:
         x = jnp.dot(x, params["project_out"], preferred_element_type=jnp.float32).astype(x.dtype)
@@ -420,8 +424,18 @@ def nucleus_generate(
 # ---------------------------------------------------------------------------
 
 
-def convert_opt_state_dict(sd: Dict, dtype=np.float32) -> Tuple[dict, OPTConfig]:
-    """HF OPT state dict -> (params, config). Accepts 'model.decoder.*' keys."""
+# released OPT sizes: hidden -> attention heads (head_dim is NOT constant
+# across the family: 64 up to 2.7b, 128 from 6.7b — never derive heads from
+# hidden//64)
+_OPT_N_HEADS = {768: 12, 1024: 16, 2048: 32, 2560: 32, 4096: 32, 5120: 40, 7168: 56, 9216: 72}
+
+
+def convert_opt_state_dict(sd: Dict, dtype=np.float32, n_heads: Optional[int] = None) -> Tuple[dict, OPTConfig]:
+    """HF OPT state dict -> (params, config). Accepts 'model.decoder.*' keys.
+
+    ``n_heads``: head count override — HF state dicts don't record it; known
+    released sizes are inferred, anything else must be passed explicitly.
+    """
 
     def np_(x):
         if hasattr(x, "detach"):
@@ -443,10 +457,21 @@ def convert_opt_state_dict(sd: Dict, dtype=np.float32) -> Tuple[dict, OPTConfig]
     vocab = get("embed_tokens.weight").shape[0]
     ffn = get("layers.0.fc1.weight").shape[0]
     max_pos = get("embed_positions.weight").shape[0] - 2
+    if n_heads is None:
+        n_heads = _OPT_N_HEADS.get(hidden)
+        if n_heads is None:
+            raise ValueError(
+                f"cannot infer attention heads for hidden={hidden} (not a released "
+                "OPT size); pass n_heads= explicitly to convert_opt_state_dict"
+            )
+    # Block layout: post-LN exists only in OPT-350m (the one size with an
+    # embed projection). A missing decoder final_layer_norm WITHOUT a
+    # projection is HF's _remove_final_layer_norm quirk — pre-LN blocks, just
+    # no final LN (handled by _head keying on the param's presence).
     cfg = OPTConfig(vocab_size=vocab, hidden=hidden, n_layers=n_layers, ffn=ffn, max_positions=max_pos,
-                    n_heads={768: 12, 1024: 16, 2048: 32, 2560: 32}.get(hidden, hidden // 64),
+                    n_heads=n_heads,
                     word_embed_proj_dim=embed_dim if has_proj else None,
-                    do_layer_norm_before=has_final_ln)
+                    do_layer_norm_before=has_final_ln or not has_proj)
 
     T = np.transpose
     lay = lambda i, name: np_(sd[f"{pre}layers.{i}.{name}"])

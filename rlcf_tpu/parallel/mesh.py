@@ -84,3 +84,14 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def dp_put(mesh, arr):
+    """Place ``arr`` sharded over dp on axis 0 when the size tiles the axis;
+    replicate otherwise (batched-episode placement policy, one definition)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    if mesh is None or "dp" not in mesh.shape or arr.shape[0] % mesh.shape["dp"] != 0:
+        return arr
+    return jax.device_put(arr, NamedSharding(mesh, PartitionSpec("dp")))

@@ -421,21 +421,17 @@ class PromptTTAClassifier:
         (34x slower transfer measured); flat rides the fast path and the
         device reshape fuses into the first conv's input processing.
         """
+        from ..parallel.mesh import dp_put
+
         views_shape = None
-        if isinstance(views_batch, np.ndarray) and views_batch.dtype == np.uint8:
+        if self.mesh is not None and getattr(views_batch, "ndim", 0) == 5:
+            # multi-chip: dp-shard the episode axis (u8 included — the flat
+            # fast path is a single-chip tunnel optimization and would leave
+            # the batch replicated across the dp groups)
+            views_batch = dp_put(self.mesh, jnp.asarray(views_batch))
+        elif isinstance(views_batch, np.ndarray) and views_batch.dtype == np.uint8:
             views_shape = views_batch.shape
             views_batch = jax.device_put(np.ascontiguousarray(views_batch).reshape(-1))
-        elif (
-            self.mesh is not None
-            and "dp" in self.mesh.shape
-            and getattr(views_batch, "ndim", 0) == 5
-            and views_batch.shape[0] % self.mesh.shape["dp"] == 0
-        ):
-            from jax.sharding import NamedSharding, PartitionSpec as Spec
-
-            views_batch = jax.device_put(
-                jnp.asarray(views_batch), NamedSharding(self.mesh, Spec("dp"))
-            )
         img_feats, sel, r_sim = self._prepare(
             self.clip_params, self._reward_params_arg, self._tf0, self._reward_feats_arg,
             jnp.asarray(views_batch), views_shape=views_shape,
@@ -481,18 +477,11 @@ class PromptTTAClassifier:
                     f"({self.reward.cfg.image_resolution}px)"
                 )
             reward_tokens = jnp.asarray(reward_tokens)
-        policy_tokens = jnp.asarray(policy_tokens)
-        if (
-            self.mesh is not None
-            and "dp" in self.mesh.shape
-            and policy_tokens.shape[0] % self.mesh.shape["dp"] == 0
-        ):
-            from jax.sharding import NamedSharding, PartitionSpec as Spec
+        from ..parallel.mesh import dp_put
 
-            dp_sh = NamedSharding(self.mesh, Spec("dp"))
-            policy_tokens = jax.device_put(policy_tokens, dp_sh)
-            if reward_tokens is not None:
-                reward_tokens = jax.device_put(reward_tokens, dp_sh)
+        policy_tokens = dp_put(self.mesh, jnp.asarray(policy_tokens))
+        if reward_tokens is not None:
+            reward_tokens = dp_put(self.mesh, reward_tokens)
         img_feats, sel, r_sim = self._prepare_tokens(
             self.clip_params, self._reward_params_arg, self._tf0, self._reward_feats_arg,
             policy_tokens, reward_tokens,

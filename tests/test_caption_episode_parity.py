@@ -45,8 +45,8 @@ def test_caption_tta_full_loop_matches_reference(tmp_path):
     mapper_params = M.convert_mapper_state_dict(sd_map, mcfg)
 
     sd_opt = {k[len("sdopt::"):]: data[k] for k in data.files if k.startswith("sdopt::")}
-    opt_params, ocfg = O.convert_opt_state_dict(sd_opt)
-    ocfg = O.OPTConfig(**{**ocfg.__dict__, "n_heads": 2, "eos_newline_id": int(data["newline_id"])})
+    opt_params, ocfg = O.convert_opt_state_dict(sd_opt, n_heads=2)
+    ocfg = O.OPTConfig(**{**ocfg.__dict__, "eos_newline_id": int(data["newline_id"])})
 
     sd_rclip = {k[len("sdrclip::"):]: data[k] for k in data.files if k.startswith("sdrclip::")}
     rparams, rcfg_arch = convert_clip_state_dict(sd_rclip)

@@ -33,8 +33,8 @@ def hf_tiny():
     )
     model = OPTForCausalLM(hf_cfg).eval()
     sd = model.state_dict()
-    params, cfg = O.convert_opt_state_dict(sd)
-    cfg = O.OPTConfig(**{**cfg.__dict__, "n_heads": 2, "eos_newline_id": 3})
+    params, cfg = O.convert_opt_state_dict(sd, n_heads=2)
+    cfg = O.OPTConfig(**{**cfg.__dict__, "eos_newline_id": 3})
     return model, params, cfg
 
 
@@ -162,9 +162,13 @@ def hf_tiny_350m():
         activation_function="relu", dropout=0.0,
     )
     model = OPTForCausalLM(hf_cfg).eval()
-    params, cfg = O.convert_opt_state_dict(model.state_dict())
-    cfg = O.OPTConfig(**{**cfg.__dict__, "n_heads": 2, "eos_newline_id": 3})
+    params, cfg = O.convert_opt_state_dict(model.state_dict(), n_heads=2)
+    cfg = O.OPTConfig(**{**cfg.__dict__, "eos_newline_id": 3})
     assert cfg.word_embed_proj_dim == 16 and not cfg.do_layer_norm_before
+    # the user-facing --llm config for this shape stays in sync with the fixture
+    tiny = O.OPT_CONFIGS["test-tiny-opt-350m"]
+    assert (tiny.hidden, tiny.word_embed_proj_dim, tiny.do_layer_norm_before) == (
+        cfg.hidden, cfg.word_embed_proj_dim, cfg.do_layer_norm_before)
     return model, params, cfg
 
 
