@@ -22,6 +22,30 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed() -> bool:
+    """Multi-HOST bootstrap (pods/slices): call before any backend use.
+
+    The TPU-native replacement for the reference's NCCL/SLURM bootstrap
+    (`dist_utils.py:57-90`): `jax.distributed.initialize()` discovers peers
+    from the TPU/megascale environment automatically. Single-host setups
+    (including this repo's 1-chip dev box and the virtual CPU mesh) need no
+    initialization — we only call it when the environment advertises a
+    multi-host topology. Returns True when initialization ran.
+    """
+    import os
+
+    workers = [h for h in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if h]
+    multi_host_env = (
+        bool(os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+        or bool(os.environ.get("JAX_COORDINATOR_ADDRESS"))
+        or len(workers) > 1  # single-host axon sets TPU_WORKER_HOSTNAMES=localhost
+    )
+    if not multi_host_env:
+        return False
+    jax.distributed.initialize()
+    return True
+
+
 def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None, tp: int = 1) -> Mesh:
     """Build a (dp, tp) mesh over the first ``n_devices`` visible devices.
 

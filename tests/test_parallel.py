@@ -226,3 +226,14 @@ def test_prompt_classifier_on_mesh_matches_unsharded():
     lg_tok_base, _ = base.adapt_tokens(ptoks)
     lg_tok_mesh, _ = sharded.adapt_tokens(ptoks)
     np.testing.assert_allclose(np.asarray(lg_tok_mesh), np.asarray(lg_tok_base), rtol=2e-4, atol=2e-4)
+
+
+def test_maybe_initialize_distributed_single_host_noop(monkeypatch):
+    """Single-host environments (incl. axon's TPU_WORKER_HOSTNAMES=localhost)
+    must not attempt a coordinator handshake."""
+    from rlcf_tpu.parallel.mesh import maybe_initialize_distributed
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    monkeypatch.delenv("MEGASCALE_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert maybe_initialize_distributed() is False
