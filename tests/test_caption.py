@@ -290,3 +290,39 @@ def test_caption_tta_batched_matches_single(tiny_caption, tiny_gpt2_tok):
     singles = [tta.adapt_image(images[i], embs[i]) for i in range(2)]
     batched = tta.adapt_batch(images, embs)
     assert batched == singles
+
+
+def test_caption_tta_momentum_updates_anchor(tiny_caption, tiny_gpt2_tok):
+    """Momentum EMA (CAP_TTA `custom_models.py:57-71`): each image's adapted
+    mapper folds into the EMA; the episode anchor re-bases every update_freq
+    images, so subsequent captions can change while staying deterministic."""
+    params, ccfg = tiny_caption
+    rcfg = C.ClipConfig("tiny-reward", 16, 32, 1, 32, 16, 32, 1, vision_heads_override=2, text_heads_override=2)
+    reward = ClipReward(C.init_clip_params(jax.random.PRNGKey(1), rcfg), rcfg, RewardConfig(sample_k=3))
+    tta = Cap.CaptionTTA(
+        params, ccfg, reward, tiny_gpt2_tok, tta_steps=2, lr=5e-2, sample_k=3, max_new_tokens=6,
+        token_pad_len=30, momentum_update=True, update_freq=1, update_w=1.0, momentum=0.5,
+    )
+    image = np.random.default_rng(0).normal(size=(32, 32, 3)).astype(np.float32)
+    clip_emb = np.random.default_rng(1).normal(size=(16,)).astype(np.float32)
+    anchor0 = jax.tree_util.tree_map(lambda a: np.asarray(a).copy(), tta.momentum_state.reset_params)
+    tta.adapt_image(image, clip_emb)
+    assert tta.momentum_state.counter == 0  # update_freq=1 -> re-anchored
+    moved = jax.tree_util.tree_reduce(
+        max,
+        jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(np.asarray(a) - b).max()), tta.momentum_state.reset_params, anchor0
+        ),
+    )
+    assert moved > 0.0  # anchor absorbed the adapted mapper
+
+    # batched path folds through the same fused scan
+    tta2 = Cap.CaptionTTA(
+        params, ccfg, reward, tiny_gpt2_tok, tta_steps=1, lr=5e-2, sample_k=3, max_new_tokens=6,
+        token_pad_len=30, momentum_update=True, update_freq=2, update_w=1.0, momentum=0.5,
+    )
+    imgs = np.random.default_rng(2).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    embs = np.random.default_rng(3).normal(size=(2, 16)).astype(np.float32)
+    caps = tta2.adapt_batch(imgs, embs)
+    assert len(caps) == 2
+    assert tta2.momentum_state.counter == 0  # 2 folds -> re-anchor fired
