@@ -291,28 +291,51 @@ void affine_bilinear(const ImageU8& src, ImageU8& dst, float a, float b, float c
   dst.h = src.h;
   dst.w = src.w;
   dst.data.assign(src.data.size(), 0);
+  // General path (rotate): fixed-point 16.16 incremental stepping — source
+  // coords advance by constant (a, d) per output x, so the inner loop is
+  // integer adds + an 8-bit-weight 4-tap blend (no per-pixel floor/float
+  // math). Interior pixels (all 4 taps in bounds) take the branch-light
+  // loop; boundary pixels fall back to the checked scalar blend.
+  const int64_t Ax = llroundf(a * 65536.0f);
+  const int64_t Dx = llroundf(d * 65536.0f);
   for (int y = 0; y < src.h; ++y) {
-    for (int x = 0; x < src.w; ++x) {
-      const float in_x = a * (x + 0.5f) + b * (y + 0.5f) + c - 0.5f;
-      const float in_y = d * (x + 0.5f) + e * (y + 0.5f) + f - 0.5f;
-      const int x0 = static_cast<int>(std::floor(in_x));
-      const int y0 = static_cast<int>(std::floor(in_y));
-      const float wx = in_x - x0;
-      const float wy = in_y - y0;
+    int64_t fx = llroundf((a * 0.5f + b * (y + 0.5f) + c - 0.5f) * 65536.0f);
+    int64_t fy = llroundf((d * 0.5f + e * (y + 0.5f) + f - 0.5f) * 65536.0f);
+    uint8_t* drow = dst.px(y, 0);
+    const size_t stride = static_cast<size_t>(src.w) * 3;
+    for (int x = 0; x < src.w; ++x, fx += Ax, fy += Dx) {
+      const int x0 = static_cast<int>(fx >> 16);
+      const int y0 = static_cast<int>(fy >> 16);
+      uint8_t* o = drow + 3 * x;
+      if (x0 >= 0 && x0 + 1 < src.w && y0 >= 0 && y0 + 1 < src.h) {
+        const int wx = static_cast<int>((fx >> 8) & 0xFF);  // 8-bit fractions
+        const int wy = static_cast<int>((fy >> 8) & 0xFF);
+        const int w00 = (256 - wx) * (256 - wy);
+        const int w01 = wx * (256 - wy);
+        const int w10 = (256 - wx) * wy;
+        const int w11 = wx * wy;
+        const uint8_t* p0 = src.px(y0, x0);
+        const uint8_t* p1 = p0 + stride;
+        o[0] = static_cast<uint8_t>((w00 * p0[0] + w01 * p0[3] + w10 * p1[0] + w11 * p1[3]) >> 16);
+        o[1] = static_cast<uint8_t>((w00 * p0[1] + w01 * p0[4] + w10 * p1[1] + w11 * p1[4]) >> 16);
+        o[2] = static_cast<uint8_t>((w00 * p0[2] + w01 * p0[5] + w10 * p1[2] + w11 * p1[5]) >> 16);
+        continue;
+      }
+      const float wxf = static_cast<float>(fx & 0xFFFF) / 65536.0f;
+      const float wyf = static_cast<float>(fy & 0xFFFF) / 65536.0f;
       float acc[3] = {0, 0, 0};
       for (int dy = 0; dy < 2; ++dy) {
-        for (int dx = 0; dx < 2; ++dx) {
-          const int sx = x0 + dx;
+        for (int dx2 = 0; dx2 < 2; ++dx2) {
+          const int sx = x0 + dx2;
           const int sy = y0 + dy;
           if (sx < 0 || sx >= src.w || sy < 0 || sy >= src.h) continue;
-          const float w = (dx ? wx : 1 - wx) * (dy ? wy : 1 - wy);
+          const float w = (dx2 ? wxf : 1 - wxf) * (dy ? wyf : 1 - wyf);
           const uint8_t* p = src.px(sy, sx);
           acc[0] += w * p[0];
           acc[1] += w * p[1];
           acc[2] += w * p[2];
         }
       }
-      uint8_t* o = dst.px(y, x);
       o[0] = clamp_u8(acc[0] - 0.5f);
       o[1] = clamp_u8(acc[1] - 0.5f);
       o[2] = clamp_u8(acc[2] - 0.5f);
