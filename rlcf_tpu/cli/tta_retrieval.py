@@ -45,6 +45,11 @@ def get_args(argv=None):
     p.add_argument("--vis_root", default="", help="image root joined with annotation paths")
     p.add_argument("--synthetic", action="store_true", help="tiny fabricated gallery (no data needed)")
     p.add_argument("--group_size", type=int, default=4)
+    p.add_argument(
+        "--tp", type=int, default=1,
+        help="gallery-axis tensor-parallel width; with >1 devices a (dp, tp) "
+        "mesh shards the caption/image gallery over tp and query groups over dp",
+    )
     return p.parse_args(argv)
 
 
@@ -110,9 +115,15 @@ def main(argv=None):
 
     n_img, n_txt = len(gallery.image_paths), len(gallery.texts)
     scores_i2t = scores_t2i = None
+    mesh = None
+    if args.tp > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(tp=args.tp)
+        print(f"mesh: {dict(mesh.shape)}")
     momentum_kw = dict(
         momentum_update=bool(args.momentum_update), update_freq=args.update_freq,
-        update_w=args.update_w, momentum=args.tta_momentum,
+        update_w=args.update_w, momentum=args.tta_momentum, mesh=mesh,
     )
 
     import dataclasses as _dc

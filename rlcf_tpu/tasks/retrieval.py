@@ -122,6 +122,7 @@ class RetrievalTTA:
         update_freq: int = 256,
         update_w: float = 1.0,
         momentum: float = 0.9999,
+        mesh=None,
     ):
         assert direction in ("i2t", "t2i")
         if isinstance(reward, ClipRewardEnsemble):
@@ -141,9 +142,29 @@ class RetrievalTTA:
         else:
             self.trainable0 = clip_params["text"]
         self.momentum_state = Po.MomentumState.create(self.trainable0) if momentum_update else None
+        # Multi-chip: the gallery axis (~25k captions / ~1k-5k images) is the
+        # long axis in retrieval (SURVEY §2.5) — shard it over the mesh's tp
+        # dimension and query groups over dp; GSPMD inserts the collectives.
+        self.mesh = mesh
         self._episode = None
         self.gallery_feats = None
         self.reward_gallery_feats = None
+
+    def _maybe_shard_galleries(self):
+        if self.mesh is None or "tp" not in self.mesh.shape:
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as Spec
+
+        tp = self.mesh.shape["tp"]
+        g = self.gallery_feats.shape[0]
+        if g % tp:
+            print(f"NOTE: gallery size {g} not divisible by tp={tp}; gallery replicated")
+            return
+        sh = NamedSharding(self.mesh, Spec("tp"))
+        self.gallery_feats = jax.device_put(self.gallery_feats, sh)
+        if self.reward_gallery_feats is not None and self.reward_gallery_feats.shape[0] % tp == 0:
+            self.reward_gallery_feats = jax.device_put(self.reward_gallery_feats, sh)
+            self.reward.class_features = self.reward_gallery_feats
 
     # -- gallery setup ----------------------------------------------------
 
@@ -152,6 +173,7 @@ class RetrievalTTA:
         self.gallery_feats, _ = encode_text_gallery(self.clip_params, self.clip_cfg, texts)
         tokens = tokenize(list(texts), truncate=True)
         self.reward_gallery_feats = self.reward.set_class_features(tokenized=tokens)
+        self._maybe_shard_galleries()
         self._build_episode()
         return self
 
@@ -167,6 +189,7 @@ class RetrievalTTA:
             rfeats.append(encode(self.reward.params, jnp.asarray(batch)))
         self.reward_gallery_feats = jnp.concatenate(rfeats, axis=0)
         self.reward.class_features = self.reward_gallery_feats
+        self._maybe_shard_galleries()
         self._build_episode()
         return self
 
@@ -234,7 +257,9 @@ class RetrievalTTA:
 
         queries: [N, H, W, 3] images (i2t) or [N, 77] tokens (t2i).
         """
-        q = jnp.asarray(queries)[:, None]  # add the singleton view axis
+        from ..parallel.mesh import dp_put
+
+        q = dp_put(self.mesh, jnp.asarray(queries))[:, None]  # add the singleton view axis
         start = self.momentum_state.reset_params if self.momentum_update else self.trainable0
         logits, aux = self._episode(
             self.clip_params, self.reward.params, self.gallery_feats, self.reward_gallery_feats, start, q

@@ -135,3 +135,16 @@ def test_tta_cls_cli_tp_mesh(tmp_path):
          "--ctx_init", "a_photo_of_a", "--episode_group", "4", "--output", str(tmp_path)]
     )
     assert 0 <= r["synthetic"]["top1"] <= 100
+
+
+def test_tta_retrieval_cli_tp_mesh(tmp_path):
+    """--tp 2 runs the gallery-sharded retrieval path on the virtual mesh."""
+    from rlcf_tpu.cli import tta_retrieval
+
+    r = tta_retrieval.main(
+        ["--synthetic", "--arch", "test-small", "--reward_arch", "test-small",
+         "--precision", "fp32", "--resolution", "64", "--tta_steps", "1",
+         "--sample_k", "2", "--group_size", "2", "--tp", "2",
+         "--output", str(tmp_path)]
+    )
+    assert set(r) >= {"txt_r1", "img_r1", "r_mean"}

@@ -237,3 +237,32 @@ def test_maybe_initialize_distributed_single_host_noop(monkeypatch):
     monkeypatch.delenv("MEGASCALE_COORDINATOR_ADDRESS", raising=False)
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
     assert maybe_initialize_distributed() is False
+
+
+def test_retrieval_gallery_tp_sharding_matches_unsharded():
+    """RetrievalTTA with a (dp, tp) mesh: gallery axis sharded over tp,
+    queries over dp — scores match the single-device path."""
+    import jax
+    import numpy as np
+    from rlcf_tpu.core.episode import EpisodeConfig
+    from rlcf_tpu.core.reward import ClipReward, RewardConfig
+    from rlcf_tpu.models import clip as C
+    from rlcf_tpu.parallel.mesh import make_mesh
+    from rlcf_tpu.tasks.retrieval import RetrievalTTA
+
+    cfg = C.ClipConfig("tp-ret", 16, 32, 1, 32, 16, 32, 1, vision_heads_override=2, text_heads_override=2)
+    params = C.init_clip_params(jax.random.PRNGKey(0), cfg)
+    reward = ClipReward(C.init_clip_params(jax.random.PRNGKey(1), cfg), cfg, RewardConfig(sample_k=2))
+    ecfg = EpisodeConfig(tta_steps=2, lr=1e-4, sample_k=2, adam_eps=1e-6)
+    texts = [f"a photo of thing {i}" for i in range(8)]  # 8 % tp == 0
+    rng = np.random.default_rng(0)
+    queries = rng.normal(size=(4, 32, 32, 3)).astype(np.float32)
+
+    base = RetrievalTTA(params, cfg, reward, ecfg, direction="i2t").set_text_gallery(texts)
+    s_base = base.adapt_queries(queries)
+
+    reward2 = ClipReward(C.init_clip_params(jax.random.PRNGKey(1), cfg), cfg, RewardConfig(sample_k=2))
+    mesh = make_mesh(tp=2)
+    sharded = RetrievalTTA(params, cfg, reward2, ecfg, direction="i2t", mesh=mesh).set_text_gallery(texts)
+    s_mesh = sharded.adapt_queries(queries)
+    np.testing.assert_allclose(s_mesh, s_base, rtol=2e-4, atol=2e-4)
