@@ -148,3 +148,18 @@ def test_tta_retrieval_cli_tp_mesh(tmp_path):
          "--output", str(tmp_path)]
     )
     assert set(r) >= {"txt_r1", "img_r1", "r_mean"}
+
+
+def test_tta_cls_cli_kd_loss(tmp_path):
+    """--loss kd/dkd distills the reward logits through the same episode."""
+    from rlcf_tpu.cli import tta_cls
+
+    for loss in ("kd", "dkd"):
+        r = tta_cls.main(
+            [".", "--test_sets", "synthetic", "--limit", "2", "--arch", "test-small",
+             "--reward_arch", "test-small", "--precision", "fp32", "--resolution", "64",
+             "--batch_size", "4", "--tta_steps", "1", "--sample_k", "2", "--loss", loss,
+             "--ctx_init", "a_photo_of_a", "--episode_group", "2",
+             "--output", str(tmp_path / loss)]
+        )
+        assert 0 <= r["synthetic"]["top1"] <= 100
