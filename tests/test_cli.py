@@ -163,3 +163,17 @@ def test_tta_cls_cli_kd_loss(tmp_path):
              "--output", str(tmp_path / loss)]
         )
         assert 0 <= r["synthetic"]["top1"] <= 100
+
+
+def test_tune_cls_cli(tmp_path):
+    """Encoder-TTA entry end to end (norm-only tuning + momentum EMA)."""
+    from rlcf_tpu.cli import tune_cls
+
+    r = tune_cls.main(
+        [".", "--test_sets", "synthetic", "--limit", "2", "--arch", "test-small",
+         "--reward_arch", "test-small", "--precision", "fp32", "--resolution", "64",
+         "--batch_size", "4", "--tta_steps", "1", "--lr", "1e-5", "--sample_k", "2",
+         "--tune_norm", "1", "--momentum_update", "1", "--update_freq", "2",
+         "--episode_group", "1", "--output", str(tmp_path)]
+    )
+    assert 0 <= r["synthetic"]["top1"] <= 100
