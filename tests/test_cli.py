@@ -177,3 +177,19 @@ def test_tune_cls_cli(tmp_path):
          "--episode_group", "1", "--output", str(tmp_path)]
     )
     assert 0 <= r["synthetic"]["top1"] <= 100
+
+
+def test_export_serving_cli(tmp_path):
+    """AOT export entry produces a loadable artifact (token input)."""
+    from rlcf_tpu.cli import export_serving
+    from rlcf_tpu.utils.export import load_exported
+
+    out = tmp_path / "ep.rlcfx"
+    export_serving.main(
+        ["--test_sets", "synthetic", "--arch", "test-small", "--reward_arch", "test-small",
+         "--precision", "fp32", "--resolution", "64", "--batch_size", "4",
+         "--episode_group", "2", "--tta_steps", "1", "--sample_k", "2",
+         "--ctx_init", "a_photo_of_a", "--input", "tokens", "--out", str(out)]
+    )
+    assert out.exists() and out.stat().st_size > 100
+    assert callable(load_exported(str(out)))
