@@ -193,3 +193,16 @@ def test_export_serving_cli(tmp_path):
     )
     assert out.exists() and out.stat().st_size > 100
     assert callable(load_exported(str(out)))
+
+
+def test_tta_cls_cli_cocoop(tmp_path):
+    """--cocoop runs the image-conditioned prompt path end to end."""
+    from rlcf_tpu.cli import tta_cls
+
+    r = tta_cls.main(
+        [".", "--test_sets", "synthetic", "--limit", "2", "--arch", "test-small",
+         "--reward_arch", "test-small", "--precision", "fp32", "--resolution", "64",
+         "--batch_size", "4", "--tta_steps", "1", "--sample_k", "2", "--cocoop",
+         "--ctx_init", "a_photo_of_a", "--episode_group", "2", "--output", str(tmp_path)]
+    )
+    assert 0 <= r["synthetic"]["top1"] <= 100
