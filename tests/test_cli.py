@@ -206,3 +206,75 @@ def test_tta_cls_cli_cocoop(tmp_path):
          "--ctx_init", "a_photo_of_a", "--episode_group", "2", "--output", str(tmp_path)]
     )
     assert 0 <= r["synthetic"]["top1"] <= 100
+
+
+def _tiny_tok_files(d):
+    import json as _json
+
+    from rlcf_tpu.tokenizer_gpt2 import _byte_to_unicode
+
+    d.mkdir(parents=True, exist_ok=True)
+    b2u = _byte_to_unicode()
+    vocab = {"<pad>": 1, "</s>": 2}
+    nid = 4
+    for ch in b2u.values():
+        if ch not in vocab:
+            vocab[ch] = nid
+            nid += 1
+    (d / "vocab.json").write_text(_json.dumps(vocab))
+    (d / "merges.txt").write_text("#version\n")
+    return str(d / "vocab.json"), str(d / "merges.txt")
+
+
+def test_clipscore_eval_cli(tmp_path):
+    """CLIPScore + reference metrics end to end with --out_json."""
+    import json as _json
+
+    from PIL import Image
+    from rlcf_tpu.cli import clipscore_eval
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    cands, refs = {}, {}
+    for i in range(2):
+        name = f"im{i}.jpg"
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(img_dir / name)
+        cands[name] = f"a photo of thing {i}"
+        refs[name] = [f"thing {i} in a photo"]
+    (tmp_path / "c.json").write_text(_json.dumps(cands))
+    (tmp_path / "r.json").write_text(_json.dumps(refs))
+    out = clipscore_eval.main(
+        [str(tmp_path / "c.json"), str(img_dir), "--references_json", str(tmp_path / "r.json"),
+         "--arch", "test-small", "--resolution", "64", "--precision", "fp32",
+         "--out_json", str(tmp_path / "m.json")]
+    )
+    assert "clipscore" in out and "ref_clipscore" in out and "cider" in out
+    saved = _json.loads((tmp_path / "m.json").read_text())
+    assert saved["n_images"] == 2 and "meteor_mode" in saved
+
+
+def test_extract_features_cli(tmp_path):
+    """Feature pre-extractor writes tokens/masks/embeddings npz."""
+    import json as _json
+
+    from PIL import Image
+    from rlcf_tpu.cli import extract_features
+
+    vocab, merges = _tiny_tok_files(tmp_path / "tok")
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.fromarray(np.random.default_rng(0).integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(img_dir / "a.jpg")
+    ann = [{"image": "a.jpg", "caption": ["a tiny caption", "another one"]}]
+    (tmp_path / "ann.json").write_text(_json.dumps(ann))
+    out = tmp_path / "feats.npz"
+    extract_features.main(
+        ["--annotations", str(tmp_path / "ann.json"), "--images_root", str(img_dir),
+         "--arch", "test-small", "--precision", "fp32", "--resolution", "64",
+         "--opt_vocab", vocab, "--opt_merges", merges,
+         "--prefix_length", "4", "--token_len", "8", "--out", str(out)]
+    )
+    data = np.load(out, allow_pickle=True)
+    assert data["tokens"].shape == (2, 8)
+    assert data["mask"].shape == (2, 12)  # prefix 4 + tokens 8
+    assert data["image_embeddings"].shape[0] == 2
