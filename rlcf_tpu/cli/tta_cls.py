@@ -90,10 +90,14 @@ def main(argv=None):
     )
     mesh = None
     if args.tp > 1:
-        from ..parallel.mesh import make_mesh
+        from ..parallel.mesh import make_mesh, round_to_dp
 
         mesh = make_mesh(tp=args.tp)
         print(f"mesh: {dict(mesh.shape)}")
+        rounded = round_to_dp(args.episode_group, mesh)
+        if rounded != args.episode_group:
+            print(f"NOTE: rounding --episode_group {args.episode_group} -> {rounded} (multiple of dp)")
+            args.episode_group = rounded
     if args.cocoop:
         if mesh is not None:
             raise SystemExit("--tp > 1 is not supported with --cocoop (prompt-TTA only)")

@@ -117,10 +117,14 @@ def main(argv=None):
     scores_i2t = scores_t2i = None
     mesh = None
     if args.tp > 1:
-        from ..parallel.mesh import make_mesh
+        from ..parallel.mesh import make_mesh, round_to_dp
 
         mesh = make_mesh(tp=args.tp)
         print(f"mesh: {dict(mesh.shape)}")
+        rounded = round_to_dp(args.group_size, mesh)
+        if rounded != args.group_size:
+            print(f"NOTE: rounding --group_size {args.group_size} -> {rounded} (multiple of dp)")
+            args.group_size = rounded
     momentum_kw = dict(
         momentum_update=bool(args.momentum_update), update_freq=args.update_freq,
         update_w=args.update_w, momentum=args.tta_momentum, mesh=mesh,

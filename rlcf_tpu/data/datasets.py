@@ -19,6 +19,7 @@ from typing import Iterator, List, Optional, Tuple
 import numpy as np
 
 from .transforms import preprocess_pil, load_image
+from ..utils.registry import Registry
 
 IMAGE_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp", ".tif", ".tiff")
 
@@ -212,6 +213,46 @@ class SyntheticDataset:
         return img, int(rng.integers(0, self.n_classes))
 
 
+def _register_builders():
+    """Register every dataset id with the global :class:`Registry`.
+
+    The registry is the LAVIS ``Registry`` equivalent
+    (`retrieval/lavis/common/registry.py:9-329`); ``build_dataset`` dispatches
+    through it so external code can add datasets without editing this module:
+
+        Registry.register("dataset", "my_set")(lambda root, **kw: MySet(root))
+    """
+    if "synthetic" in Registry._stores.get("dataset", {}):  # module re-import
+        return
+    reg = lambda name: Registry.register("dataset", name)
+    reg("synthetic")(lambda root, **kw: SyntheticDataset())
+    reg("I")(lambda root, **kw: ImageFolderDataset(os.path.join(root, ID_TO_DIRNAME["I"], "val")))
+    for sid in ("A", "K", "R", "V"):
+        reg(sid)(lambda root, _sid=sid, **kw: ImageFolderDataset(os.path.join(root, ID_TO_DIRNAME[_sid])))
+    reg("C")(
+        lambda root, corruption="defocus_blur", level="5", **kw: ImageFolderDataset(
+            os.path.join(root, ID_TO_DIRNAME["C"], corruption, level)
+        )
+    )
+    reg("aircraft")(
+        lambda root, mode="test", **kw: AircraftDataset(os.path.join(root, ID_TO_DIRNAME["aircraft"]), mode=mode)
+    )
+    for sid in JSON_SPLITS:
+        subdir, split_json = JSON_SPLITS[sid]
+
+        def _json_builder(root, mode="test", n_shot=None, _sid=sid, _sub=subdir, _json=split_json, **kw):
+            base = os.path.join(root, ID_TO_DIRNAME[_sid])
+            return JsonSplitDataset(os.path.join(base, _sub), os.path.join(base, _json), mode=mode, n_shot=n_shot)
+
+        reg(sid)(_json_builder)
+    reg("bongard_hoi")(
+        lambda root, mode="test", split="unseen_obj_unseen_act", **kw: BongardHOIDataset(root, split=split, mode=mode)
+    )
+
+
+_register_builders()
+
+
 def build_dataset(
     set_id: str,
     data_root: str,
@@ -220,23 +261,13 @@ def build_dataset(
     corruption: str = "defocus_blur",
     level: str = "5",
 ):
-    """Resolve a dataset id to a loader (mirrors `TPT/data/datautils.py:42-72`)."""
-    if set_id == "synthetic":
-        return SyntheticDataset()
-    dirname = ID_TO_DIRNAME[set_id]
-    if set_id == "I":
-        return ImageFolderDataset(os.path.join(data_root, dirname, "val"))
-    if set_id in ("A", "K", "R", "V"):
-        return ImageFolderDataset(os.path.join(data_root, dirname))
-    if set_id == "C":
-        return ImageFolderDataset(os.path.join(data_root, dirname, corruption, level))
-    if set_id == "aircraft":
-        return AircraftDataset(os.path.join(data_root, dirname), mode=mode)
-    if set_id in JSON_SPLITS:
-        subdir, split_json = JSON_SPLITS[set_id]
-        base = os.path.join(data_root, dirname)
-        return JsonSplitDataset(os.path.join(base, subdir), os.path.join(base, split_json), mode=mode, n_shot=n_shot)
-    raise KeyError(f"unknown dataset id {set_id!r}")
+    """Resolve a dataset id to a loader (mirrors `TPT/data/datautils.py:42-72`)
+    via the registry (the LAVIS-pattern dispatch, SURVEY §2.2 row 26)."""
+    try:
+        builder = Registry.get("dataset", set_id)
+    except KeyError:
+        raise KeyError(f"unknown dataset id {set_id!r}; known: {Registry.list('dataset')}") from None
+    return builder(data_root, mode=mode, n_shot=n_shot, corruption=corruption, level=level)
 
 
 def iter_batches(

@@ -17,6 +17,7 @@ mapper checkpoints.
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Dict, Optional
 
@@ -185,14 +186,37 @@ CLIP_CHECKPOINT_SHA256 = {
 
 
 def _sha256_file(path: str) -> str:
-    """Chunked SHA256 (checkpoints are ~100 MB-1.7 GB; never read them whole)."""
+    """Chunked SHA256 (checkpoints are ~100 MB-1.7 GB; never read them whole).
+
+    The digest is memoized in a ``<path>.sha256`` sidecar keyed by
+    (size, mtime_ns): hashing a 1.7 GB ViT-L/14 file adds multi-second startup
+    latency to every CLI invocation otherwise. A touched/replaced file misses
+    the key and re-hashes; an unwritable directory silently skips the cache.
+    """
     import hashlib
+    import json
+
+    st = os.stat(path)
+    sidecar = path + ".sha256"
+    try:
+        with open(sidecar) as fh:
+            cached = json.load(fh)
+        if cached.get("size") == st.st_size and cached.get("mtime_ns") == st.st_mtime_ns:
+            return cached["sha256"]
+    except (OSError, ValueError, KeyError):
+        pass
 
     h = hashlib.sha256()
     with open(path, "rb") as fh:
         for chunk in iter(lambda: fh.read(1 << 20), b""):
             h.update(chunk)
-    return h.hexdigest()
+    digest = h.hexdigest()
+    try:
+        with open(sidecar, "w") as fh:
+            json.dump({"size": st.st_size, "mtime_ns": st.st_mtime_ns, "sha256": digest}, fh)
+    except OSError:
+        pass
+    return digest
 
 
 def verify_checkpoint_sha256(path: str, arch: Optional[str] = None) -> bool:

@@ -112,10 +112,41 @@ def replicate(mesh: Mesh, tree):
 
 def dp_put(mesh, arr):
     """Place ``arr`` sharded over dp on axis 0 when the size tiles the axis;
-    replicate otherwise (batched-episode placement policy, one definition)."""
+    replicate otherwise (batched-episode placement policy, one definition).
+
+    The fallback is loud: a batch that does not tile dp quietly serializes
+    whole-episode work onto fewer chips, so — like the tp fallbacks — it
+    prints a NOTE once per (batch-size, dp) shape. Callers should round
+    episode groups to a dp multiple (see :func:`round_to_dp`).
+    """
+    import sys
+
     import jax
     from jax.sharding import NamedSharding, PartitionSpec
 
-    if mesh is None or "dp" not in mesh.shape or arr.shape[0] % mesh.shape["dp"] != 0:
+    if mesh is None or "dp" not in mesh.shape:
+        return arr
+    dp = mesh.shape["dp"]
+    if arr.shape[0] % dp != 0:
+        key = (arr.shape[0], dp)
+        if key not in _dp_put_warned:
+            _dp_put_warned.add(key)
+            print(
+                f"NOTE: dp_put: batch of {arr.shape[0]} does not tile dp={dp}; "
+                f"running UNSHARDED (single-chip). Round the episode group to a "
+                f"multiple of dp (e.g. --episode_group {max(dp, arr.shape[0] // dp * dp)}).",
+                file=sys.stderr,
+            )
         return arr
     return jax.device_put(arr, NamedSharding(mesh, PartitionSpec("dp")))
+
+
+_dp_put_warned: set = set()
+
+
+def round_to_dp(group_size: int, mesh) -> int:
+    """Round an episode-group size up to a multiple of the mesh's dp axis."""
+    if mesh is None or "dp" not in mesh.shape:
+        return group_size
+    dp = mesh.shape["dp"]
+    return max(dp, -(-group_size // dp) * dp)

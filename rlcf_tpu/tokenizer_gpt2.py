@@ -69,9 +69,27 @@ def find_tokenizer_assets() -> Optional[Tuple[str, str]]:
     hf_home = os.environ.get("HF_HOME", os.path.expanduser("~/.cache/huggingface"))
     for vocab in sorted(glob.glob(os.path.join(hf_home, "hub", "models--*", "snapshots", "*", "vocab.json"))):
         merges = os.path.join(os.path.dirname(vocab), "merges.txt")
-        if os.path.isfile(merges):
+        if os.path.isfile(merges) and _is_gpt2_vocab(vocab):
             return vocab, merges
     return None
+
+
+def _is_gpt2_vocab(vocab_path: str) -> bool:
+    """True iff ``vocab_path`` is a GPT-2/OPT byte-level BPE vocabulary.
+
+    The HF cache may also hold CLIP snapshots (e.g. openai/clip-vit-base-*)
+    whose vocab.json + merges.txt are CLIP's incompatible 49 408-entry BPE
+    (word-final ``</w>`` markers, no byte-level ``Ġ`` space prefix). Accepting
+    one silently produces garbage tokenization, so gate on the GPT-2 vocab
+    size and a known byte-level token.
+    """
+    try:
+        with open(vocab_path) as fh:
+            vocab = json.load(fh)
+    except (OSError, ValueError):
+        return False
+    # OPT re-indexes ids, so check token presence, not a specific id.
+    return len(vocab) >= 50257 and "Ġthe" in vocab
 
 
 def load_gpt2_tokenizer(

@@ -14,7 +14,7 @@ for split in val_417_in-domain val_2670_near-domain val_1413_out-domain; do
       ${OPT_VOCAB:+--opt_vocab "$OPT_VOCAB"} ${OPT_MERGES:+--opt_merges "$OPT_MERGES"} \
       --clip_model_type ViT-B/16 --clip_checkpoint "${CLIP_VIT_B16:-}" \
       --reward_arch ViT-L/14 --reward_checkpoint "${CLIP_VIT_L14:-}" \
-      --normalize_prefix 1 \
+      --normalize_prefix 1 --dataset_mode 2 \
       --tta_steps 4 --tta_lr 2e-6 --weight_decay 0.0 --sample_k 10 \
       --output "$out"
   python -m rlcf_tpu.cli.clipscore_eval "$out/results_clipscore.json" "$imgs" \
