@@ -8,12 +8,17 @@ on one chip: view generation + jitted vmapped REINFORCE episodes.
 Weights are randomly initialized (no checkpoint egress in this environment);
 throughput is weight-independent.
 
-View generation backend (BENCH_VIEWGEN): "native" (default) runs the C++
-AugMix pipeline on host threads overlapped with device episodes —
-this environment's TPU executes non-matmul vector ops ~100x below real v5e
-VPU throughput (axon platform artifact; measured 2.4 Gelem/s elementwise vs
-fast MXU), which would otherwise drown the measurement; "device" uses the
-jitted TPU pipeline (the production default on real hardware).
+View generation backend (BENCH_VIEWGEN):
+- "fused" (default; alias "device-matmul"): the fully-fused Pallas AugMix
+  kernel (`ops/pallas_augmix.py`) — ships the 196 KB u8 source image, builds
+  all 64 views in VMEM (RRC as MXU matmuls, real per-op branching,
+  bit-sliced MXU equalize), emits patch-major u8 tokens. ~0.2 ms/image on
+  this chip: the host+wire viewgen term is gone and the bench reads the
+  episode roofline.
+- "native": round-2 path — C++ AugMix on host threads overlapped with
+  device episodes (kept for comparison/regression).
+- "device": the round-1 jitted XLA pipeline (vector-op-bound; ~100x slow on
+  this axon environment, fine on real VPUs).
 
 Baseline: the reference's per-sample A100 PyTorch throughput for this config.
 Not published in-repo (BASELINE.md: TBD); we use 1.5 img/s as the baseline
@@ -54,7 +59,14 @@ def main():
     n_views = int(os.environ.get("BENCH_VIEWS", 64))
     group = int(os.environ.get("BENCH_GROUP", max(4, 2 * n_devices)))
     iters = int(os.environ.get("BENCH_ITERS", 24))
-    backend = os.environ.get("BENCH_VIEWGEN", "native")
+    backend = os.environ.get("BENCH_VIEWGEN", "fused")
+    if backend == "device-matmul":
+        backend = "fused"
+    if backend == "fused" and (jax.default_backend() != "tpu" or n_devices > 1):
+        # the Pallas kernel needs a real TPU; multi-chip keeps the dp-sharded
+        # NHWC path (token sharding over dp works, but keep the gate simple)
+        backend = "native" if n_devices > 1 else "device"
+        print(f"# BENCH_VIEWGEN=fused unavailable here; falling back to {backend}", file=sys.stderr)
     dtype = jnp.bfloat16
 
     # Multi-chip: shard the episode group over a dp mesh (episodes are
@@ -96,7 +108,22 @@ def main():
     def make_views_device(seed):
         return gen(jnp.asarray(imgs), jax.random.split(jax.random.PRNGKey(seed), group))
 
-    if backend == "native" and n_devices > 1:
+    if backend == "fused":
+        from rlcf_tpu.ops.pallas_augmix import fused_views
+
+        imgs_planar = jnp.asarray(np.ascontiguousarray(imgs.transpose(0, 3, 1, 2)))
+        p_pol, p_rew = pcfg.vision_patch_size, rcfg.vision_patch_size
+        reward_same_res = rcfg.is_vit and rcfg.image_resolution == 224
+
+        def make_tokens_fused(seed):
+            keys = jax.random.split(jax.random.PRNGKey(seed), group)
+            return fused_views(
+                imgs_planar, keys, n_views=n_views, resolution=224, src_size=256,
+                p_policy=p_pol, p_reward=p_rew if reward_same_res else 0,
+            )
+
+        make_views_host = None
+    elif backend == "native" and n_devices > 1:
         # Multi-chip dp shards rank-5 view batches; keep the NHWC u8 path there.
         from rlcf_tpu.data.native import generate_views_native_u8
 
@@ -129,31 +156,46 @@ def main():
             return clf.adapt_tokens(v)
         return clf.adapt(shard(v))
 
-    # compile / warm up both paths; time a full device-generated group so the
-    # hybrid loop knows what a fallback actually costs on this platform
+    # compile / warm up; time a full device-generated group so the hybrid
+    # loop knows what a fallback actually costs on this platform
     t0 = time.time()
-    views = make_views_device(0)
-    logits, _ = clf.adapt(views)
-    np.asarray(logits)
-    t1 = time.time()
-    logits, _ = clf.adapt(shard(make_views_device(1)))
-    np.asarray(logits)
-    t_dev_group = time.time() - t1
-    if make_views_host is not None:
-        views = make_views_host(0)
-        logits, _ = run_group(views)
+    if backend == "fused":
+        toks = make_tokens_fused(0)
+        logits, _ = clf.adapt_tokens(*toks) if isinstance(toks, tuple) else clf.adapt_tokens(toks)
         np.asarray(logits)
-    print(f"# compile+warmup {time.time()-t0:.0f}s (device group: {t_dev_group:.1f}s)", file=sys.stderr)
+        t_dev_group = None
+    else:
+        views = make_views_device(0)
+        logits, _ = clf.adapt(views)
+        np.asarray(logits)
+        t1 = time.time()
+        logits, _ = clf.adapt(shard(make_views_device(1)))
+        np.asarray(logits)
+        t_dev_group = time.time() - t1
+        if make_views_host is not None:
+            views = make_views_host(0)
+            logits, _ = run_group(views)
+            np.asarray(logits)
+    print(f"# compile+warmup {time.time()-t0:.0f}s"
+          + (f" (device group: {t_dev_group:.1f}s)" if t_dev_group is not None else ""), file=sys.stderr)
 
-    # Episode-only latency + MFU on device-resident views (the compute-path
-    # number the end-to-end figure should be read against; XLA's own FLOP
-    # count via cost_analysis, v5e bf16 peak 197 TF/s).
-    dviews = jnp.asarray(make_views_device(2))
-    jax.block_until_ready(dviews)
+    # Episode-only latency + MFU on device-resident inputs (the compute-path
+    # number the end-to-end figure should be read against; analytic FLOPs,
+    # v5e bf16 peak 197 TF/s). For the fused backend the resident input is
+    # the token pair — prepare_tokens + episodes IS the production hot path.
+    if backend == "fused":
+        dtoks = make_tokens_fused(2)
+        jax.block_until_ready(dtoks[0] if isinstance(dtoks, tuple) else dtoks)
+        run_resident = (lambda: clf.adapt_tokens(*dtoks)) if isinstance(dtoks, tuple) else (
+            lambda: clf.adapt_tokens(dtoks))
+    else:
+        dviews = jnp.asarray(make_views_device(2))
+        jax.block_until_ready(dviews)
+        run_resident = lambda: clf.adapt(dviews)
     ep_times = []
     for _ in range(5):
         te = time.time()
-        lg, _ = clf.adapt(dviews)
+        lg, _ = run_resident()
         np.asarray(lg)
         ep_times.append(time.time() - te)
     episode_s = float(np.median(ep_times))
@@ -196,7 +238,15 @@ def main():
     done = 0
     host_groups = dev_groups = 0
     logits = None
-    if make_views_host is not None:
+    if backend == "fused":
+        # whole pipeline is device-resident: fused viewgen feeds episodes
+        # back-to-back under async dispatch; the host only samples RNG keys
+        for i in range(iters):
+            toks = make_tokens_fused(i + 1)
+            logits, _ = clf.adapt_tokens(*toks) if isinstance(toks, tuple) else clf.adapt_tokens(toks)
+            done += group
+            dev_groups += 1
+    elif make_views_host is not None:
         q: "queue.Queue" = queue.Queue(maxsize=2)
 
         def producer():

@@ -46,10 +46,12 @@ def get_args(argv=None):
         "mesh shards episode batches over dp and the class axis over tp",
     )
     p.add_argument(
-        "--viewgen", default="device", choices=["device", "native"],
-        help="AugMix backend: 'device' = jitted TPU pipeline (default); 'native' = "
-        "C++ host pipeline emitting uint8 (normalized on device) — overlaps with "
-        "episodes and cuts host->device transfer 4x on bandwidth-limited links",
+        "--viewgen", default="auto", choices=["auto", "fused", "device", "native"],
+        help="AugMix backend: 'fused' = fully-fused Pallas TPU kernel (ships the "
+        "196 KB source image, builds all views in VMEM, emits patch-major u8 "
+        "tokens — the production TPU path); 'device' = jitted XLA pipeline; "
+        "'native' = C++ host pipeline emitting uint8. 'auto' picks fused on a "
+        "single TPU chip with a ViT policy, device otherwise",
     )
     return p.parse_args(argv)
 
@@ -120,7 +122,27 @@ def main(argv=None):
             params, cfg, reward, ecfg, ctx_init=args.ctx_init or "a photo of a", n_ctx=args.n_ctx, ctx0=ctx0,
             mesh=mesh,
         )
-    if args.viewgen == "native":
+    # token-mode eligibility (shared by the fused and native backends)
+    token_ok = (
+        not args.cocoop
+        and cfg.is_vit
+        and args.resolution % cfg.vision_patch_size == 0
+        and getattr(clf, "_prepare_tokens", None) is not None
+    )
+    if args.viewgen == "auto":
+        from ..ops.pallas_augmix import fused_available
+
+        args.viewgen = "fused" if (fused_available() and token_ok and not args.hard_aug and mesh is None) else "device"
+        print(f"viewgen: auto -> {args.viewgen}")
+    if args.viewgen == "fused":
+        if args.hard_aug:
+            raise SystemExit("--viewgen fused does not implement --hard_aug (BYOL); use --viewgen device")
+        if not token_ok:
+            raise SystemExit("--viewgen fused needs a ViT policy in token mode; use --viewgen device")
+        if mesh is not None:
+            raise SystemExit("--viewgen fused is single-chip (for now); drop --tp or use --viewgen native")
+        gen = None
+    elif args.viewgen == "native":
         from ..data import native as native_mod
 
         if args.hard_aug:
@@ -168,23 +190,36 @@ def main(argv=None):
         group_imgs, group_labels = [], []
         rng_counter = [skip // max(args.episode_group, 1)]
 
-        # Native backend: ship patch-major u8 tokens when the policy is a ViT
-        # (single reward) — the TPU hot path: fast transfer layout + patch
-        # embedding as one MXU matmul, selected views depatchified on device
-        # for the reward. Falls back to NHWC u8 otherwise.
-        use_tokens = (
-            gen is None
-            and not args.cocoop
-            and cfg.is_vit
-            and args.resolution % cfg.vision_patch_size == 0
-            and getattr(clf, "_prepare_tokens", None) is not None
+        # Token mode (fused / native backends): ship patch-major u8 tokens
+        # when the policy is a ViT (single reward) — the TPU hot path: fast
+        # transfer layout + patch embedding as one MXU matmul, selected views
+        # depatchified on device for the reward. NHWC u8 otherwise.
+        use_tokens = gen is None and token_ok
+        # fused kernel can also pre-patchify for a ViT reward at the same res
+        reward_same_res = (
+            args.viewgen == "fused"
+            and not args.multiple_reward_models
+            and clf.reward.cfg.is_vit
+            and clf.reward.cfg.image_resolution == args.resolution
         )
 
         def flush():
             if not group_imgs:
                 return
             imgs = np.stack([_to_canonical(im, 256) for im in group_imgs])
-            if gen is None:  # native host pipeline, raw u8 (device normalizes)
+            if args.viewgen == "fused":  # all viewgen on device, in one kernel
+                from ..ops.pallas_augmix import fused_views
+
+                keys = jax.random.split(jax.random.PRNGKey(args.seed * 100003 + rng_counter[0]), len(group_imgs))
+                rng_counter[0] += 1
+                planar = np.ascontiguousarray(imgs.astype(np.uint8).transpose(0, 3, 1, 2))
+                views = fused_views(
+                    jnp.asarray(planar), keys, n_views=args.batch_size,
+                    resolution=args.resolution, src_size=256, augmix=bool(args.augmix),
+                    p_policy=cfg.vision_patch_size,
+                    p_reward=clf.reward.cfg.vision_patch_size if reward_same_res else 0,
+                )
+            elif gen is None:  # native host pipeline, raw u8 (device normalizes)
                 if use_tokens:
                     from ..data.native import generate_views_native_patch_u8
 
@@ -205,7 +240,12 @@ def main(argv=None):
                 keys = jax.random.split(jax.random.PRNGKey(args.seed * 100003 + rng_counter[0]), len(group_imgs))
                 rng_counter[0] += 1
                 views = gen(jnp.asarray(imgs), keys)
-            logits, _ = (clf.adapt_tokens(views) if (gen is None and use_tokens) else clf.adapt(views))
+            if isinstance(views, tuple):  # fused policy+reward token pair
+                logits, _ = clf.adapt_tokens(*views)
+            elif use_tokens:
+                logits, _ = clf.adapt_tokens(views)
+            else:
+                logits, _ = clf.adapt(views)
             from ..metrics.classification import topk_correct
 
             counts = topk_correct(np.asarray(logits), np.asarray(group_labels))
