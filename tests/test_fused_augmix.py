@@ -98,29 +98,52 @@ def test_solarize_exact(img64):
     np.testing.assert_array_equal(got, want)
 
 
-def test_shear_translate_exact(img64):
-    f = jnp.asarray(img64).astype(jnp.float32)
+def _smooth_img(size=64):
+    """Smooth structured test image: sub-pixel sampling differences between
+    interpolation formulations stay sub-gray here. (On white noise, adjacent
+    pixels differ ~85 gray, so even last-bit f32 summation-order differences
+    in fractional sampling offsets read as huge pixel errors.)"""
+    y, x = np.mgrid[0:size, 0:size].astype(np.float64)
+    img = np.stack(
+        [
+            127 + 90 * np.sin(2 * np.pi * x / 23) * np.cos(2 * np.pi * y / 31),
+            40 + 2.5 * x + 0.8 * y,
+            200 - 1.9 * y + 30 * np.sin(2 * np.pi * (x + y) / 41),
+        ],
+        axis=-1,
+    )
+    return jnp.asarray(np.clip(np.round(img), 0, 255).astype(np.uint8))
+
+
+def test_shear_translate_exact():
+    img = _smooth_img()
+    f = jnp.asarray(img).astype(jnp.float32)
     cases = [
-        (5, 0.05, image_ops.shear_x(f, 0.05)),
-        (6, -0.05, image_ops.shear_y(f, -0.05)),
-        (7, 3.0, image_ops.translate_x(f, 3.0)),
-        (8, -2.0, image_ops.translate_y(f, -2.0)),
+        # shears: same shift-blend math; tolerance covers f32 summation-order
+        # differences in the fractional offset (image_ops adds x first)
+        (5, 0.05, image_ops.shear_x(f, 0.05), 1.0),
+        (6, -0.05, image_ops.shear_y(f, -0.05), 1.0),
+        # integer translates: no fractional tap -> exact
+        (7, 3.0, image_ops.translate_x(f, 3.0), 0.0),
+        (8, -2.0, image_ops.translate_y(f, -2.0), 0.0),
     ]
-    for op, lvl, want in cases:
-        got = _run_single_op(img64, op=op, p0=lvl)
-        np.testing.assert_array_equal(got, np.asarray(jnp.round(want)), err_msg=f"op {op}")
+    for op, lvl, want, tol in cases:
+        got = _run_single_op(img, op=op, p0=lvl)
+        d = np.abs(got - np.asarray(jnp.round(want)))
+        assert d.max() <= tol, (op, d.max())
 
 
-def test_rotate_three_shear_close(img64):
+def test_rotate_three_shear_close():
     """3-shear decomposition vs direct 2-D bilinear rotate (PIL-exact path)."""
+    img = _smooth_img()
     for deg in (2.0, -3.0):
         theta = -np.deg2rad(deg)
-        got = _run_single_op(img64, op=3, p0=float(np.tan(theta / 2)), p1=float(-np.sin(theta)))
-        want = np.asarray(jnp.round(image_ops.rotate(jnp.asarray(img64).astype(jnp.float32), deg)))
+        got = _run_single_op(img, op=3, p0=float(np.tan(theta / 2)), p1=float(-np.sin(theta)))
+        want = np.asarray(jnp.round(image_ops.rotate(jnp.asarray(img).astype(jnp.float32), deg)))
         # interior only: the three passes clip corners slightly differently
         d = np.abs(got - want)[4:-4, 4:-4]
-        assert d.mean() < 2.0, d.mean()
-        assert np.quantile(d, 0.99) <= 16, np.quantile(d, 0.99)
+        assert d.mean() < 1.0, d.mean()
+        assert np.quantile(d, 0.99) <= 4, np.quantile(d, 0.99)
 
 
 def test_full_pipeline_matches_device_path():
