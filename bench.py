@@ -203,12 +203,7 @@ def main():
     # Analytic FLOP count (XLA's cost_analysis() under-reports convs/dots on
     # this backend): standard transformer accounting, 2 FLOPs per MAC,
     # backward = 2x forward.
-    def vit_flops(width, layers, tokens, patch_dim, embed):
-        per_layer = 24 * tokens * width * width + 4 * tokens * tokens * width
-        return layers * per_layer + 2 * tokens * patch_dim * width + 2 * width * embed
-
-    def text_flops(cfg_, n_tokens_total):
-        return cfg_.text_layers * 24 * n_tokens_total * cfg_.text_width**2
+    from rlcf_tpu.utils.flops import vit_flops, text_tower_flops as text_flops
 
     n_keep = max(1, int(n_views * ecfg.selection_p))
     t_pol = (224 // pcfg.vision_patch_size) ** 2 + 1

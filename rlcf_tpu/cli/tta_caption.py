@@ -49,6 +49,12 @@ def get_args(argv=None):
     p.add_argument("--out_results_file", default=None)
     p.add_argument("--out_clipscore_file", default=None)
     p.add_argument("--episode_group", type=int, default=1, help="images adapted per device batch")
+    p.add_argument(
+        "--dp", type=int, default=1,
+        help="episode data-parallel width: with N>1 devices, adapt_batch "
+        "groups (per-image mapper states) shard over a dp mesh; OPT/reward "
+        "params replicate",
+    )
     return p.parse_args(argv)
 
 
@@ -127,13 +133,23 @@ def main(argv=None):
 
             params["mapper"] = M.convert_mapper_state_dict(load_torch_file(args.checkpoint), mcfg)
 
+    mesh = None
+    if args.dp > 1:
+        from ..parallel.mesh import make_mesh, round_to_dp
+
+        mesh = make_mesh(n_devices=args.dp, dp=args.dp, tp=1)
+        print(f"mesh: {dict(mesh.shape)}")
+        rounded = round_to_dp(args.episode_group, mesh)
+        if rounded != args.episode_group:
+            print(f"NOTE: rounding --episode_group {args.episode_group} -> {rounded} (multiple of dp)")
+            args.episode_group = rounded
     tta = Cap.CaptionTTA(
         params, ccfg, reward, tok,
         tta_steps=args.tta_steps, lr=args.tta_lr, weight_decay=args.weight_decay,
         sample_k=args.sample_k, max_new_tokens=max_new,
         use_nucleus=bool(args.use_nucleus_sampling),
         momentum_update=bool(args.momentum_update), update_freq=args.update_freq,
-        update_w=args.update_w, momentum=args.tta_momentum,
+        update_w=args.update_w, momentum=args.tta_momentum, mesh=mesh,
     )
 
     # Reference caption CLIs take --dataset_mode as an int selecting the eval

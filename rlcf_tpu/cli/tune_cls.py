@@ -26,6 +26,12 @@ def get_args(argv=None):
     common.add_tta_args(p)
     p.add_argument("--loss", default="rlcf", choices=["rlcf", "tpt", "kd", "dkd", "atkd"])
     p.add_argument("--ctx_prefix", default="a_photo_of_a", help="prompt prefix for class features")
+    p.add_argument(
+        "--dp", type=int, default=1,
+        help="episode data-parallel width: with N>1 devices, episode groups "
+        "shard over a dp mesh (visual-tower params replicate; the only "
+        "cross-chip traffic is GSPMD's metric gathers)",
+    )
     return p.parse_args(argv)
 
 
@@ -54,6 +60,16 @@ def main(argv=None):
         weight_decay=args.weight_decay, loss=loss, sample_k=args.sample_k,
         min_entropy_reg=bool(args.min_entropy_reg), min_entropy_w=args.min_entropy_w,
     )
+    mesh = None
+    if args.dp > 1:
+        from ..parallel.mesh import make_mesh, round_to_dp
+
+        mesh = make_mesh(n_devices=args.dp, dp=args.dp, tp=1)
+        print(f"mesh: {dict(mesh.shape)}")
+        rounded = round_to_dp(args.episode_group, mesh)
+        if rounded != args.episode_group:
+            print(f"NOTE: rounding --episode_group {args.episode_group} -> {rounded} (multiple of dp)")
+            args.episode_group = rounded
     clf = EncoderTTAClassifier(
         params, cfg, reward, ecfg,
         prompt_prefix=(args.ctx_prefix or "a photo of a").replace("_", " "),
@@ -61,6 +77,7 @@ def main(argv=None):
         momentum_update=bool(args.momentum_update),
         update_freq=args.update_freq, update_w=args.update_w, momentum=args.tta_momentum,
         bn_prior=None if args.prior_strength < 0 else args.prior_strength,
+        mesh=mesh,
     )
     gen = make_view_generator(n_views=args.batch_size, resolution=args.resolution, augmix=bool(args.augmix), hard_aug=bool(args.hard_aug))
 

@@ -279,6 +279,7 @@ class CaptionTTA:
         update_w: float = 1.0,
         momentum: float = 0.9999,
         token_pad_len: Optional[int] = None,
+        mesh=None,
     ):
         from ..core import policy as Po
 
@@ -308,6 +309,10 @@ class CaptionTTA:
         self.momentum_update = momentum_update
         self.momentum_cfg = dict(momentum=momentum, update_freq=update_freq, update_w=update_w)
         self.momentum_state = Po.MomentumState.create(params["mapper"]) if momentum_update else None
+        # episode-DP: adapt_batch groups shard over the mesh's dp axis (per-
+        # image mapper states, embeddings and images partition on axis 0; OPT
+        # + reward params replicate). SURVEY §2.5 first-class axis.
+        self.mesh = mesh
         self._Po = Po
         self._sample_counter = 0
 
@@ -523,6 +528,17 @@ class CaptionTTA:
         opt_states = jax.vmap(self.opt.init)(mappers)
         clip_embs = jnp.asarray(clip_embs)
         images = jnp.asarray(images)
+        if self.mesh is not None:
+            from ..parallel.mesh import dp_put
+
+            dp_tree = lambda tree: jax.tree_util.tree_map(
+                lambda a: dp_put(self.mesh, a) if getattr(a, "ndim", 0) >= 1 and a.shape[0] == N else a,
+                tree,
+            )
+            images = dp_put(self.mesh, images)
+            clip_embs = dp_put(self.mesh, clip_embs)
+            mappers = dp_tree(mappers)
+            opt_states = dp_tree(opt_states)
         P = self.ccfg.prefix_length
         opt_params = self.params["opt"]
         rparams = self.reward.params

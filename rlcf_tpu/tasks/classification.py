@@ -584,6 +584,7 @@ class EncoderTTAClassifier:
         update_w: float = 1.0,
         momentum: float = 0.9999,
         bn_prior: Optional[float] = None,
+        mesh=None,
     ):
         from ..core import policy as Po
 
@@ -602,6 +603,7 @@ class EncoderTTAClassifier:
         self.momentum_cfg = dict(momentum=momentum, update_freq=update_freq, update_w=update_w)
         self.momentum_update = momentum_update
         self.bn_prior = bn_prior
+        self.mesh = mesh  # episode-DP: batches shard over dp, params replicate
         self._Po = Po
 
         if only_norm:
@@ -691,7 +693,13 @@ class EncoderTTAClassifier:
         Po = self._Po
         start = self.momentum_state.reset_params if self.momentum_update else self.trainable0
         views_shape = None
-        if isinstance(views_batch, np.ndarray) and views_batch.dtype == np.uint8:
+        if self.mesh is not None and getattr(views_batch, "ndim", 0) == 5:
+            # multi-chip: dp-shard the episode axis (the flat-u8 fast path is
+            # a single-chip tunnel optimization and would replicate the batch)
+            from ..parallel.mesh import dp_put
+
+            views_batch = dp_put(self.mesh, jnp.asarray(views_batch))
+        elif isinstance(views_batch, np.ndarray) and views_batch.dtype == np.uint8:
             views_shape = views_batch.shape
             views_batch = jax.device_put(np.ascontiguousarray(views_batch).reshape(-1))
         logits, aux = self._episode_batched(

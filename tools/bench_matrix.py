@@ -1,0 +1,327 @@
+"""Per-pipeline benchmark matrix -> PERF_r03-style JSON records.
+
+One command, four machine-readable records (the regression surface VERDICT
+round 2 asked for — only the flagship had one):
+
+    python tools/bench_matrix.py [--out PERF_r03.json] [--quick]
+
+Pipelines (reference configs, BASELINE.md matrix):
+  1. prompt_tta    — flagship `rlcf-prompt.sh`: ViT-B/16 policy, ViT-L/14
+                     reward, 64 views, 3 steps, 200 classes (ms/image)
+  2. encoder_tta   — `rlcf-tune.sh`: visual-tower fwd+bwd episodes (ms/image)
+  3. retrieval_i2t / retrieval_t2i — `tta_coco_ret.sh`: 8 steps over cached
+                     galleries (ms/query)
+  4. caption_tta   — `tta_capdec_c2n.sh`: OPT-125m beam-6 x 4 steps + final
+                     beam-5 (ms/image, includes the host retokenize loop)
+
+Each record: ms/unit, analytic TFLOP/unit, MFU vs v5e bf16 peak (see
+`rlcf_tpu/utils/flops.py` for the accounting; generation-bound pipelines
+naturally read low MFU). Weights are randomly initialized — throughput is
+weight-independent (no checkpoint egress here).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _median_time(fn, block, iters=5):
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn()
+        block(out)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def bench_prompt_tta(quick=False):
+    import jax
+    import jax.numpy as jnp
+    from rlcf_tpu.models import clip as C
+    from rlcf_tpu.core.reward import ClipReward, RewardConfig
+    from rlcf_tpu.core.episode import EpisodeConfig
+    from rlcf_tpu.tasks.classification import PromptTTAClassifier
+    from rlcf_tpu.data.class_names import get_classnames
+    from rlcf_tpu.ops.pallas_augmix import fused_views, fused_available
+    from rlcf_tpu.utils.flops import vit_tower_flops, text_tower_flops, V5E_BF16_PEAK
+
+    group, n_views, steps = (2, 16, 3) if quick else (4, 64, 3)
+    pcfg, rcfg = C.get_config("ViT-B/16"), C.get_config("ViT-L/14")
+    pparams = jax.jit(lambda k: C.init_clip_params(k, pcfg, dtype=jnp.bfloat16))(jax.random.PRNGKey(0))
+    rparams = jax.jit(lambda k: C.init_clip_params(k, rcfg, dtype=jnp.bfloat16))(jax.random.PRNGKey(1))
+    reward = ClipReward(rparams, rcfg, RewardConfig(sample_k=3))
+    ecfg = EpisodeConfig(tta_steps=steps, selection_p=0.1, lr=7e-3, sample_k=3)
+    clf = PromptTTAClassifier(pparams, pcfg, reward, ecfg, ctx_init="a photo of a")
+    classnames = get_classnames("A")
+    clf.setup(classnames)
+
+    imgs = np.random.default_rng(0).integers(0, 256, (group, 3, 256, 256), dtype=np.uint8)
+    if fused_available():
+        toks = fused_views(jnp.asarray(imgs), jax.random.split(jax.random.PRNGKey(0), group),
+                           n_views=n_views, resolution=224, src_size=256, p_policy=16, p_reward=14)
+        run = lambda: clf.adapt_tokens(*toks)
+    else:
+        from rlcf_tpu.data.augment import make_view_generator
+
+        gen = make_view_generator(n_views=n_views, resolution=224)
+        views = gen(jnp.asarray(imgs.transpose(0, 2, 3, 1)), jax.random.split(jax.random.PRNGKey(0), group))
+        run = lambda: clf.adapt(views)
+    run()  # compile
+    sec = _median_time(run, lambda o: np.asarray(o[0]))
+
+    n_keep = max(1, int(n_views * ecfg.selection_p))
+    n_cls, t_txt = clf.prompt_state.fixed_embed.shape[:2]
+    fl = (
+        vit_tower_flops(pcfg, n_views, 224)
+        + vit_tower_flops(rcfg, n_keep, 224)
+        + (3 * steps + 1) * text_tower_flops(pcfg, n_cls * t_txt)
+    )
+    return {
+        "pipeline": "prompt_tta",
+        "config": f"ViT-B/16 policy, ViT-L/14 reward, {n_views} views, {steps} steps, {n_cls} classes",
+        "ms_per_unit": round(sec / group * 1e3, 1),
+        "unit": "image",
+        "tflop_per_unit": round(fl / 1e12, 2),
+        "mfu_pct_v5e_bf16": round(100 * fl * group / sec / V5E_BF16_PEAK, 1),
+    }
+
+
+def bench_encoder_tta(quick=False):
+    import jax
+    import jax.numpy as jnp
+    from rlcf_tpu.models import clip as C
+    from rlcf_tpu.core.reward import ClipReward, RewardConfig
+    from rlcf_tpu.core.episode import EpisodeConfig
+    from rlcf_tpu.tasks.classification import EncoderTTAClassifier
+    from rlcf_tpu.data.class_names import get_classnames
+    from rlcf_tpu.utils.flops import vit_tower_flops, V5E_BF16_PEAK
+
+    group, n_views, steps = (1, 16, 3) if quick else (2, 64, 3)
+    pcfg, rcfg = C.get_config("ViT-B/16"), C.get_config("ViT-L/14")
+    pparams = jax.jit(lambda k: C.init_clip_params(k, pcfg, dtype=jnp.bfloat16))(jax.random.PRNGKey(0))
+    rparams = jax.jit(lambda k: C.init_clip_params(k, rcfg, dtype=jnp.bfloat16))(jax.random.PRNGKey(1))
+    reward = ClipReward(rparams, rcfg, RewardConfig(sample_k=3))
+    ecfg = EpisodeConfig(tta_steps=steps, selection_p=0.1, lr=1e-5, sample_k=3)
+    clf = EncoderTTAClassifier(pparams, pcfg, reward, ecfg)
+    clf.setup(get_classnames("A"))
+
+    views = jnp.asarray(
+        np.random.default_rng(0).normal(size=(group, n_views, 224, 224, 3)).astype(np.float32)
+    )
+    run = lambda: clf.adapt(views)
+    run()
+    sec = _median_time(run, lambda o: np.asarray(o[0]), iters=3)
+
+    n_keep = max(1, int(n_views * ecfg.selection_p))
+    # step 0: fwd over all views + vjp bwd (2x fwd); steps 1..: fwd+bwd on the
+    # n_keep selection; final prediction fwd on view 0; reward fwd on n_keep
+    fl = (
+        3 * vit_tower_flops(pcfg, n_views, 224)
+        + (steps - 1) * 3 * vit_tower_flops(pcfg, n_keep, 224)
+        + vit_tower_flops(pcfg, 1, 224)
+        + vit_tower_flops(rcfg, n_keep, 224)
+    )
+    return {
+        "pipeline": "encoder_tta",
+        "config": f"ViT-B/16 visual-tower episodes, ViT-L/14 reward, {n_views} views, {steps} steps",
+        "ms_per_unit": round(sec / group * 1e3, 1),
+        "unit": "image",
+        "tflop_per_unit": round(fl / 1e12, 2),
+        "mfu_pct_v5e_bf16": round(100 * fl * group / sec / V5E_BF16_PEAK, 1),
+    }
+
+
+def _synthetic_gallery(n_images=64, caps_per_image=4, res=224):
+    from rlcf_tpu.tasks.retrieval import RetrievalGallery
+
+    texts, img2txt, txt2img = [], {}, {}
+    tid = 0
+    for i in range(n_images):
+        img2txt[i] = []
+        for c in range(caps_per_image):
+            texts.append(f"object number {i} photographed outdoors, caption variant {c}")
+            img2txt[i].append(tid)
+            txt2img[tid] = i
+            tid += 1
+    imgs = np.random.default_rng(0).normal(size=(n_images, res, res, 3)).astype(np.float32)
+    return RetrievalGallery([f"s_{i}.jpg" for i in range(n_images)], texts, img2txt, txt2img), imgs
+
+
+def bench_retrieval(direction, quick=False):
+    import jax
+    import jax.numpy as jnp
+    from rlcf_tpu.models import clip as C
+    from rlcf_tpu.core.reward import ClipReward, RewardConfig
+    from rlcf_tpu.core.episode import EpisodeConfig
+    from rlcf_tpu.tasks.retrieval import RetrievalTTA
+    from rlcf_tpu.tokenizer import tokenize
+    from rlcf_tpu.utils.flops import vit_tower_flops, text_tower_flops, V5E_BF16_PEAK
+
+    steps = 2 if quick else 8
+    group = 4
+    n_gal = 16 if quick else 64
+    sample_k = 20 if direction == "i2t" else 12  # `tta_coco_ret.sh`
+    pcfg, rcfg = C.get_config("ViT-B/16"), C.get_config("ViT-L/14")
+    pparams = jax.jit(lambda k: C.init_clip_params(k, pcfg, dtype=jnp.bfloat16))(jax.random.PRNGKey(0))
+    rparams = jax.jit(lambda k: C.init_clip_params(k, rcfg, dtype=jnp.bfloat16))(jax.random.PRNGKey(1))
+    reward = ClipReward(rparams, rcfg, RewardConfig(sample_k=sample_k))
+    ecfg = EpisodeConfig(tta_steps=steps, lr=1e-6, sample_k=sample_k, adam_eps=1e-6)
+    gallery, imgs = _synthetic_gallery(n_images=n_gal)
+    tta = RetrievalTTA(pparams, pcfg, reward, ecfg, direction=direction)
+    if direction == "i2t":
+        tta.set_text_gallery(gallery.texts)
+        queries = imgs[:group]
+    else:
+        tta.set_image_gallery([imgs], [imgs])
+        queries = np.asarray(tokenize(gallery.texts[:group], truncate=True))
+
+    run = lambda: tta.adapt_queries(queries)
+    run()
+    sec = _median_time(run, lambda o: np.asarray(o), iters=3)
+
+    # per query: tta_steps x (policy fwd+bwd on 1 query) + final fwd; gallery
+    # matmuls negligible
+    if direction == "i2t":
+        per_fwd = vit_tower_flops(pcfg, 1, 224)
+    else:
+        per_fwd = text_tower_flops(pcfg, 77)
+    fl = (steps * 3 + 1) * per_fwd
+    return {
+        "pipeline": f"retrieval_{direction}",
+        "config": f"ViT-B/16 policy, ViT-L/14 reward, {steps} steps, sample_k={sample_k}, "
+        f"gallery {len(gallery.texts)} texts / {n_gal} images",
+        "ms_per_unit": round(sec / group * 1e3, 1),
+        "unit": "query",
+        "tflop_per_unit": round(fl / 1e12, 3),
+        "mfu_pct_v5e_bf16": round(100 * fl * group / sec / V5E_BF16_PEAK, 1),
+    }
+
+
+def _byte_level_tokenizer():
+    """Synthetic byte-only GPT-2 vocab (no merges): decode/encode timing is
+    representative without real tokenizer assets (zero-egress environment)."""
+    import json as _json
+    import tempfile
+
+    from rlcf_tpu.tokenizer_gpt2 import Gpt2Tokenizer, _byte_to_unicode
+
+    vocab = {"<pad>": 1, "</s>": 2}
+    nid = 4
+    for ch in _byte_to_unicode().values():
+        if ch not in vocab:
+            vocab[ch] = nid
+            nid += 1
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "vocab.json"), "w") as fh:
+        _json.dump(vocab, fh)
+    with open(os.path.join(d, "merges.txt"), "w") as fh:
+        fh.write("#version\n")
+    return Gpt2Tokenizer(os.path.join(d, "vocab.json"), os.path.join(d, "merges.txt"))
+
+
+def bench_caption_tta(quick=False):
+    import jax
+    import jax.numpy as jnp
+    from rlcf_tpu.models import clip as C
+    from rlcf_tpu.models import mappers as M
+    from rlcf_tpu.models.opt import OPT_CONFIGS
+    from rlcf_tpu.core.reward import ClipReward, RewardConfig
+    from rlcf_tpu.tasks.caption import CaptionModelConfig, CaptionTTA, init_caption_params
+    from rlcf_tpu.utils.flops import (
+        V5E_BF16_PEAK, text_tower_flops, transformer_decode_flops, vit_tower_flops,
+    )
+
+    group = 2 if quick else 4
+    steps, sample_k, max_new = (2, 3, 16) if quick else (4, 6, 50)
+    rcfg_arch = C.get_config("ViT-B/16" if quick else "ViT-L/14")
+    rparams = jax.jit(lambda k: C.init_clip_params(k, rcfg_arch, dtype=jnp.bfloat16))(jax.random.PRNGKey(1))
+    reward = ClipReward(rparams, rcfg_arch, RewardConfig(sample_k=sample_k, process_batch=True))
+    ocfg = OPT_CONFIGS["opt-125m"]
+    mcfg = M.MapperConfig("transformer", clip_dim=512, llm_dim=ocfg.hidden,
+                          prefix_length=40, clip_length=40)
+    ccfg = CaptionModelConfig(mapper=mcfg, opt=ocfg)
+    params = init_caption_params(jax.random.PRNGKey(0), ccfg, dtype=jnp.bfloat16)
+    tok = _byte_level_tokenizer()
+    tta = CaptionTTA(params, ccfg, reward, tok, tta_steps=steps, sample_k=sample_k,
+                     max_new_tokens=max_new)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(group, 224, 224, 3)).astype(np.float32))
+    clip_embs = jnp.asarray(rng.normal(size=(group, 512)).astype(np.float32))
+    run = lambda: tta.adapt_batch(images, clip_embs)
+    run()
+    t0 = time.perf_counter()
+    run()
+    sec = time.perf_counter() - t0  # adapt_batch blocks internally (host loop)
+
+    P = ccfg.prefix_length
+    dec = transformer_decode_flops(ocfg.n_layers, ocfg.hidden, max_new, P + max_new // 2)
+    # per image: steps x (beam-K decode + reward + fwd/bwd CE on K captions)
+    # + final beam-5 decode
+    L = P + max_new
+    fwd_ce = transformer_decode_flops(ocfg.n_layers, ocfg.hidden, L, L // 2)  # full-seq fwd ~ decode sum
+    fl = (
+        steps * (sample_k * dec + 3 * sample_k * fwd_ce)
+        + 5 * dec
+        + steps * (vit_tower_flops(rcfg_arch, 1, 224) + text_tower_flops(rcfg_arch, sample_k * 77))
+    )
+    return {
+        "pipeline": "caption_tta",
+        "config": f"OPT-125m + transformer mapper, {rcfg_arch.name} reward, "
+        f"{steps} steps, beam-{sample_k}, {max_new} new tokens",
+        "ms_per_unit": round(sec / group * 1e3, 1),
+        "unit": "image",
+        "tflop_per_unit": round(fl / 1e12, 3),
+        "mfu_pct_v5e_bf16": round(100 * fl * group / sec / V5E_BF16_PEAK, 1),
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="PERF_r03.json")
+    ap.add_argument("--quick", action="store_true", help="tiny shapes (CI smoke; numbers not comparable)")
+    ap.add_argument("--only", default=None, help="comma-separated subset of pipeline names")
+    args = ap.parse_args(argv)
+
+    from rlcf_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    benches = {
+        "prompt_tta": lambda: bench_prompt_tta(args.quick),
+        "encoder_tta": lambda: bench_encoder_tta(args.quick),
+        "retrieval_i2t": lambda: bench_retrieval("i2t", args.quick),
+        "retrieval_t2i": lambda: bench_retrieval("t2i", args.quick),
+        "caption_tta": lambda: bench_caption_tta(args.quick),
+    }
+    if args.only:
+        keep = set(args.only.split(","))
+        benches = {k: v for k, v in benches.items() if k in keep}
+
+    records = []
+    for name, fn in benches.items():
+        t0 = time.time()
+        try:
+            rec = fn()
+        except Exception as e:  # keep the matrix running; record the failure
+            rec = {"pipeline": name, "error": f"{type(e).__name__}: {e}"}
+        rec["bench_wall_s"] = round(time.time() - t0, 1)
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    out = {"records": records, "quick": args.quick}
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(f"# wrote {args.out}", file=sys.stderr)
+    return records
+
+
+if __name__ == "__main__":
+    main()
