@@ -268,13 +268,64 @@ def _meteor_exact(references: List[List[str]], candidates: List[str], alpha=0.9,
     return sum(scores) / max(len(scores), 1)
 
 
+def pycocoevalcap_available() -> bool:
+    try:
+        import pycocoevalcap  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def get_all_metrics_pycoco(references: List[List[str]], candidates: List[str]) -> Dict:
+    """Score through real pycocoevalcap + the Java PTBTokenizer — the
+    reference's exact scorer stack (`clipscore/generation_eval_utils.py:17-60`).
+    Raises ImportError when the package is absent (this zero-egress
+    environment); callers use :func:`get_all_metrics` which falls back."""
+    from pycocoevalcap.bleu.bleu import Bleu
+    from pycocoevalcap.cider.cider import Cider
+    from pycocoevalcap.meteor.meteor import Meteor
+    from pycocoevalcap.rouge.rouge import Rouge
+    from pycocoevalcap.tokenizer.ptbtokenizer import PTBTokenizer
+
+    tokenizer = PTBTokenizer()
+    refs = {i: [{"caption": r} for r in rs] for i, rs in enumerate(references)}
+    cands = {i: [{"caption": c}] for i, c in enumerate(candidates)}
+    refs = tokenizer.tokenize(refs)
+    cands = tokenizer.tokenize(cands)
+    out: Dict = {"caption_metrics_backend": "pycocoevalcap"}
+    bleu_scores, _ = Bleu(4).compute_score(refs, cands)
+    out["bleu"] = list(bleu_scores)
+    out["meteor"], _ = Meteor().compute_score(refs, cands)
+    out["meteor_mode"] = "pycocoevalcap_jar"
+    out["rouge"], _ = Rouge().compute_score(refs, cands)
+    out["cider"], _ = Cider().compute_score(refs, cands)
+    return out
+
+
 def get_all_metrics(references: List[List[str]], candidates: List[str]) -> Dict:
-    """Full suite matching `generation_eval_utils.get_all_metrics` keys, plus
-    ``meteor_mode`` recording which METEOR variant was computable here."""
+    """Full suite matching `generation_eval_utils.get_all_metrics` keys.
+
+    Delegates to real pycocoevalcap (+ Java PTBTokenizer) when importable —
+    score-exact with the reference — and otherwise to the pure-Python
+    scorers above. The ``caption_metrics_backend`` field records which ran;
+    ``meteor_mode`` records the METEOR variant.
+    """
+    if pycocoevalcap_available():
+        try:
+            return get_all_metrics_pycoco(references, candidates)
+        except Exception as e:  # jar missing / java absent: fall through
+            import warnings
+
+            warnings.warn(
+                f"pycocoevalcap present but failed ({e}); using pure-Python scorers",
+                RuntimeWarning,
+            )
     return {
         "bleu": bleu(references, candidates),
         "meteor": meteor(references, candidates),
         "meteor_mode": meteor_mode(),
         "rouge": rouge_l(references, candidates),
         "cider": cider_d(references, candidates),
+        "caption_metrics_backend": "pure-python",
     }

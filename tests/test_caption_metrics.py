@@ -94,7 +94,7 @@ def test_meteor_stem_stage_matches_inflections():
 
 def test_get_all_metrics_keys():
     out = get_all_metrics(REFS, CANDS)
-    assert set(out) == {"bleu", "meteor", "meteor_mode", "rouge", "cider"}
+    assert set(out) == {"bleu", "meteor", "meteor_mode", "rouge", "cider", "caption_metrics_backend"}
     assert len(out["bleu"]) == 4
 
 
@@ -104,3 +104,35 @@ def test_clip_score_math():
     mean, per = clip_score(img, cap, w=2.5)
     np.testing.assert_allclose(per, [2.5, 0.0])
     assert mean == 1.25
+
+
+def test_pycocoevalcap_golden_deviation():
+    """When real pycocoevalcap is installed, quantify the pure scorers'
+    deviation (VERDICT r2 item 9). Skips in this zero-egress environment."""
+    import pytest
+
+    from rlcf_tpu.metrics import caption_metrics as cm_mod
+    if not cm_mod.pycocoevalcap_available():
+        pytest.skip("pycocoevalcap not installed (zero-egress environment)")
+    refs = [["a dog runs in the park", "the dog is running outside"],
+            ["a red car on the street", "a red vehicle parked on a road"]]
+    cands = ["a dog running in a park", "a red car parked on the road"]
+    real = cm_mod.get_all_metrics_pycoco(refs, cands)
+    pure = {
+        "bleu": cm_mod.bleu(refs, cands),
+        "rouge": cm_mod.rouge_l(refs, cands),
+        "cider": cm_mod.cider_d(refs, cands),
+    }
+    for i in range(4):
+        assert abs(real["bleu"][i] - pure["bleu"][i]) < 0.05, ("bleu", i)
+    assert abs(real["rouge"] - pure["rouge"]) < 0.05
+    assert abs(real["cider"] - pure["cider"]) < 0.5
+
+
+def test_backend_field_records_what_ran():
+    from rlcf_tpu.metrics import caption_metrics as cm_mod
+
+    out = get_all_metrics(REFS, CANDS)
+    expected = "pycocoevalcap" if cm_mod.pycocoevalcap_available() else "pure-python"
+    # a present-but-broken pycocoevalcap install may legitimately fall back
+    assert out["caption_metrics_backend"] in (expected, "pure-python")
