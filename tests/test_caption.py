@@ -24,7 +24,10 @@ FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 
 
 def test_transformer_mapper_parity():
-    data = np.load(os.path.join(FIXTURES, "golden_mapper_transformer.npz"))
+    path = os.path.join(FIXTURES, "golden_mapper_transformer.npz")
+    if not os.path.exists(path):
+        pytest.skip("golden fixture missing (regenerate: see tests/conftest.py)")
+    data = np.load(path)
     sd = {k[4:]: data[k] for k in data.files if k.startswith("sd::")}
     cfg = M.MapperConfig("transformer", clip_dim=16, llm_dim=24, prefix_length=5, clip_length=3, num_layers=2)
     params = M.convert_mapper_state_dict(sd, cfg)
@@ -33,7 +36,10 @@ def test_transformer_mapper_parity():
 
 
 def test_mlp_mapper_parity():
-    data = np.load(os.path.join(FIXTURES, "golden_mapper_mlp.npz"))
+    path = os.path.join(FIXTURES, "golden_mapper_mlp.npz")
+    if not os.path.exists(path):
+        pytest.skip("golden fixture missing (regenerate: see tests/conftest.py)")
+    data = np.load(path)
     sd = {k[4:]: data[k] for k in data.files if k.startswith("sd::")}
     cfg = M.MapperConfig("mlp", clip_dim=16, llm_dim=24, prefix_length=5)
     params = M.convert_mapper_state_dict(sd, cfg)

@@ -12,7 +12,10 @@ FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 
 
 def load_golden(name):
-    data = np.load(os.path.join(FIXTURES, f"golden_clip_{name}.npz"))
+    path = os.path.join(FIXTURES, f"golden_clip_{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip("golden fixture missing (regenerate: see tests/conftest.py)")
+    data = np.load(path)
     sd = {k[4:]: data[k] for k in data.files if k.startswith("sd::")}
     return data, sd
 

@@ -22,9 +22,19 @@ from rlcf_tpu.tasks.classification import PromptTTAClassifier
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "golden_episode.npz")
 
 
+def _load_or_skip(path):
+    import pytest
+
+    if not os.path.exists(path):
+        pytest.skip(f"golden fixture missing (regenerate: see tests/conftest.py): {os.path.basename(path)}")
+    return np.load(path, allow_pickle=True)
+
+
+
+
 @pytest.fixture(scope="module")
 def golden():
-    data = np.load(FIXTURE, allow_pickle=True)
+    data = _load_or_skip(FIXTURE)
     policy_sd = {k[len("policy::"):]: data[k] for k in data.files if k.startswith("policy::")}
     reward_sd = {k[len("reward::"):]: data[k] for k in data.files if k.startswith("reward::")}
     return data, policy_sd, reward_sd
@@ -80,7 +90,7 @@ def test_encoder_episode_matches_reference():
     from rlcf_tpu.tasks.classification import EncoderTTAClassifier
 
     path = os.path.join(os.path.dirname(__file__), "fixtures", "golden_episode_encoder.npz")
-    data = np.load(path, allow_pickle=True)
+    data = _load_or_skip(path)
     policy_sd = {k[len("policy::"):]: data[k] for k in data.files if k.startswith("policy::")}
     reward_sd = {k[len("reward::"):]: data[k] for k in data.files if k.startswith("reward::")}
     policy_params, policy_cfg = convert_clip_state_dict(policy_sd)
@@ -112,7 +122,7 @@ def test_encoder_momentum_stream_matches_reference():
     from rlcf_tpu.tasks.classification import EncoderTTAClassifier
 
     path = os.path.join(os.path.dirname(__file__), "fixtures", "golden_episode_encoder_momentum.npz")
-    data = np.load(path, allow_pickle=True)
+    data = _load_or_skip(path)
     policy_sd = {k[len("policy::"):]: data[k] for k in data.files if k.startswith("policy::")}
     reward_sd = {k[len("reward::"):]: data[k] for k in data.files if k.startswith("reward::")}
     policy_params, policy_cfg = convert_clip_state_dict(policy_sd)

@@ -89,6 +89,10 @@ class TorchTinyClip(torch.nn.Module):
 
 
 def test_retrieval_i2t_matches_torch_replica():
+    import pytest as _pytest
+
+    if not os.path.exists(FIXTURE):
+        _pytest.skip("golden fixture missing (regenerate: see tests/conftest.py)")
     data = np.load(FIXTURE, allow_pickle=True)
     policy_sd = {k[len("policy::"):]: data[k] for k in data.files if k.startswith("policy::")}
     reward_sd = {k[len("reward::"):]: data[k] for k in data.files if k.startswith("reward::")}
