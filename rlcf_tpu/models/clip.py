@@ -206,14 +206,14 @@ def _init_resnet(rng, cfg: ClipConfig, dtype):
 # ---------------------------------------------------------------------------
 
 
-def _vit_post_patch(p, cfg: ClipConfig, x, pool=True):
+def _vit_post_patch(p, cfg: ClipConfig, x, pool=True, remat=False):
     """Shared ViT trunk after patch embedding: x [B, T, W] patch activations."""
     B, T, W = x.shape
     cls_tok = jnp.broadcast_to(p["class_emb"].astype(x.dtype), (B, 1, W))
     x = jnp.concatenate([cls_tok, x], axis=1)
     x = x + p["pos_emb"].astype(x.dtype)
     x = L.layer_norm(x, p["ln_pre_w"], p["ln_pre_b"])
-    x = L.transformer(x, p["blocks"], cfg.vision_heads)
+    x = L.transformer(x, p["blocks"], cfg.vision_heads, remat=remat)
     if pool:
         x = L.layer_norm(x[:, 0, :], p["ln_post_w"], p["ln_post_b"])
         return jnp.dot(x, p["proj"], preferred_element_type=jnp.float32).astype(x.dtype)
@@ -221,12 +221,12 @@ def _vit_post_patch(p, cfg: ClipConfig, x, pool=True):
     return jnp.dot(x, p["proj"], preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def _vit_encode(p, cfg: ClipConfig, images, pool=True):
+def _vit_encode(p, cfg: ClipConfig, images, pool=True, remat=False):
     """images: [B, H, W, 3] NHWC, normalized. Cast to the tower's dtype like
     the reference's ``image.type(self.dtype)`` (`TPT/clip/model.py:340-341`)."""
     x = L.conv2d(images.astype(p["conv_w"].dtype), p["conv_w"], stride=cfg.vision_patch_size, padding="VALID")
     B, gh, gw, W = x.shape
-    return _vit_post_patch(p, cfg, x.reshape(B, gh * gw, W), pool=pool)
+    return _vit_post_patch(p, cfg, x.reshape(B, gh * gw, W), pool=pool, remat=remat)
 
 
 def patch_tokens_from_images(images, patch_size: int):
@@ -327,10 +327,13 @@ def _resnet_encode(p, cfg: ClipConfig, images, bn_prior=None):
     return _attention_pool(x, p["attnpool"], cfg.vision_heads)
 
 
-def encode_image(params, cfg: ClipConfig, images, pool=True, bn_prior=None):
-    """Encode NHWC images to [B, embed_dim] (or all tokens if ``pool=False``)."""
+def encode_image(params, cfg: ClipConfig, images, pool=True, bn_prior=None, remat=False):
+    """Encode NHWC images to [B, embed_dim] (or all tokens if ``pool=False``).
+
+    ``remat``: checkpoint ViT layers — required by paths that differentiate
+    through the tower on large view batches (encoder TTA); free otherwise."""
     if cfg.is_vit:
-        return _vit_encode(params["visual"], cfg, images, pool=pool)
+        return _vit_encode(params["visual"], cfg, images, pool=pool, remat=remat)
     return _resnet_encode(params["visual"], cfg, images, bn_prior=bn_prior)
 
 

@@ -90,16 +90,21 @@ def residual_block(x, p, n_heads: int, mask=None):
     return x
 
 
-def transformer(x, blocks, n_heads: int, mask=None):
+def transformer(x, blocks, n_heads: int, mask=None, remat: bool = False):
     """Run a stacked-block transformer with lax.scan.
 
     ``blocks`` is a dict of arrays whose leading axis is the layer index.
+    ``remat``: checkpoint each layer (scan-over-layers rematerialization) —
+    the backward pass recomputes block activations instead of storing them.
+    Essential for paths that differentiate through the tower on big batches
+    (encoder-TTA's 64-view ViT backward kept ~20 GB of activations without
+    it); forward-only uses are unaffected (nothing to rematerialize).
     """
 
     def body(h, layer_params):
         return residual_block(h, layer_params, n_heads, mask), None
 
-    x, _ = jax.lax.scan(body, x, blocks)
+    x, _ = jax.lax.scan(jax.checkpoint(body) if remat else body, x, blocks)
     return x
 
 

@@ -637,7 +637,11 @@ class EncoderTTAClassifier:
             def policy_logits(trainable, cache, idx):
                 visual = Po.merge(trainable, cache["frozen_visual"]) if only_norm else trainable
                 params = {**cparams, "visual": visual}
-                feats = clip_model.encode_image(params, cfg, cache["views"][idx], bn_prior=bn_prior)
+                # remat: the episode backward differentiates through the full
+                # view batch's visual tower — storing all activations OOMs HBM
+                # at 64 views x group>1 (measured 21.5 GB); checkpointing the
+                # scan-over-layers recomputes them (bwd +~1 fwd of FLOPs)
+                feats = clip_model.encode_image(params, cfg, cache["views"][idx], bn_prior=bn_prior, remat=True)
                 feats = clip_model.normalize(feats.astype(jnp.float32))
                 return scale * jnp.dot(feats, class_feats.T, preferred_element_type=jnp.float32)
 
