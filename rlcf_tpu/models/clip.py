@@ -206,14 +206,14 @@ def _init_resnet(rng, cfg: ClipConfig, dtype):
 # ---------------------------------------------------------------------------
 
 
-def _vit_post_patch(p, cfg: ClipConfig, x, pool=True, remat=False):
+def _vit_post_patch(p, cfg: ClipConfig, x, pool=True, remat=False, attn="dense"):
     """Shared ViT trunk after patch embedding: x [B, T, W] patch activations."""
     B, T, W = x.shape
     cls_tok = jnp.broadcast_to(p["class_emb"].astype(x.dtype), (B, 1, W))
     x = jnp.concatenate([cls_tok, x], axis=1)
     x = x + p["pos_emb"].astype(x.dtype)
     x = L.layer_norm(x, p["ln_pre_w"], p["ln_pre_b"])
-    x = L.transformer(x, p["blocks"], cfg.vision_heads, remat=remat)
+    x = L.transformer(x, p["blocks"], cfg.vision_heads, remat=remat, attn=attn)
     if pool:
         x = L.layer_norm(x[:, 0, :], p["ln_post_w"], p["ln_post_b"])
         return jnp.dot(x, p["proj"], preferred_element_type=jnp.float32).astype(x.dtype)
@@ -257,7 +257,7 @@ def images_from_patch_tokens(tokens, patch_size: int):
     return x.reshape(B, g * p, g * p, 3)
 
 
-def encode_image_tokens(params, cfg: ClipConfig, tokens, pool=True):
+def encode_image_tokens(params, cfg: ClipConfig, tokens, pool=True, attn="dense"):
     """Encode pre-patchified views: tokens [B, T, p*p*3] -> [B, embed_dim].
 
     The TPU-native hot path: hosts ship views in patch-major layout (minor
@@ -272,7 +272,7 @@ def encode_image_tokens(params, cfg: ClipConfig, tokens, pool=True):
     W = p["conv_w"].shape[-1]
     kmat = p["conv_w"].reshape(-1, W)  # HWIO row-major == (row, col, channel)
     x = jnp.dot(tokens.astype(kmat.dtype), kmat, preferred_element_type=jnp.float32).astype(kmat.dtype)
-    return _vit_post_patch(p, cfg, x, pool=pool)
+    return _vit_post_patch(p, cfg, x, pool=pool, attn=attn)
 
 
 def _bottleneck(x, p, stride: int, bn_prior=None):

@@ -343,13 +343,17 @@ class PromptTTAClassifier:
         # transfer OR relayout). ViT policy + single ViT reward only.
         token_mode_ok = cfg.is_vit and (not is_ensemble)
         patch_size = cfg.vision_patch_size
+        # frozen-tower encodes route through the VMEM-fused attention kernel
+        # on TPU (the dense [B,H,T,T] fp32 HBM round trip measured 37% of the
+        # image-tower forward for 4% of its FLOPs)
+        attn_impl = "fused" if jax.default_backend() == "tpu" else "dense"
 
         @jax.jit
         def prepare_tokens(cparams, rparams, tf0_, r_class_feats, ptoks, rtoks=None):
             N, B, Tp, Dp = ptoks.shape
             n_keep = max(1, int(B * ecfg.selection_p))
             x = normalize_u8_patch_tokens(ptoks).reshape(N * B, Tp, Dp)
-            img = clip_model.encode_image_tokens(cparams, cfg, x)
+            img = clip_model.encode_image_tokens(cparams, cfg, x, attn=attn_impl)
             img_feats = clip_model.normalize(img.astype(jnp.float32)).reshape(N, B, -1)
             scale_ = jnp.exp(cparams["logit_scale"]).astype(jnp.float32)
             logits0 = scale_ * jnp.einsum("nbe,ce->nbc", img_feats, tf0_, preferred_element_type=jnp.float32)
@@ -361,7 +365,7 @@ class PromptTTAClassifier:
                 sel_r = jnp.take_along_axis(rtoks, sel[:, :, None, None], axis=1)
                 rx = normalize_u8_patch_tokens(sel_r).reshape(N * n_keep, Tr, Dr)
                 feats = clip_model.normalize(
-                    clip_model.encode_image_tokens(rparams, reward_model.cfg, rx).astype(jnp.float32)
+                    clip_model.encode_image_tokens(rparams, reward_model.cfg, rx, attn=attn_impl).astype(jnp.float32)
                 )
                 r_sim = jnp.dot(feats, r_class_feats.T, preferred_element_type=jnp.float32)
                 r_sim = r_sim.reshape(N, n_keep, -1)

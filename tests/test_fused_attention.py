@@ -1,0 +1,50 @@
+"""VMEM-fused attention kernel vs the dense path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import rlcf_tpu.ops.pallas_attention as PA
+from rlcf_tpu.models import layers as L
+from rlcf_tpu.ops.pallas_attention import _dense_reference, fused_attention
+
+
+def test_fused_attention_matches_dense():
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.normal(size=(3, 17, 3 * 32)).astype(np.float32))
+    got = fused_attention(qkv, n_heads=4, scale=0.3535, interpret=True)
+    want = _dense_reference(qkv, n_heads=4, scale=0.3535)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_attention_grad_matches_dense():
+    rng = np.random.default_rng(1)
+    qkv = jnp.asarray(rng.normal(size=(2, 9, 3 * 16)).astype(np.float32))
+
+    g_fused = jax.grad(lambda t: jnp.sum(fused_attention(t, 2, 0.25, True) ** 2))(qkv)
+    g_dense = jax.grad(lambda t: jnp.sum(_dense_reference(t, 2, 0.25) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_dense), rtol=1e-4, atol=1e-4)
+
+
+def test_multi_head_attention_fused_routing(monkeypatch):
+    """layers.multi_head_attention(attn='fused') == dense for unmasked input;
+    masked input must keep the dense path (fused has no mask support)."""
+    orig = PA.fused_attention
+    monkeypatch.setattr(  # no TPU in tests: route the kernel through interpret
+        PA, "fused_attention", lambda qkv, h, s, interpret=False: orig(qkv, h, s, True)
+    )
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 8, 32)).astype(np.float32))
+    qkv_w = jnp.asarray(rng.normal(size=(32, 96)).astype(np.float32)) * 0.1
+    out_w = jnp.asarray(rng.normal(size=(32, 32)).astype(np.float32)) * 0.1
+    args = (x, qkv_w, jnp.zeros((96,)), out_w, jnp.zeros((32,)), 4)
+
+    dense = L.multi_head_attention(*args)
+    fused = L.multi_head_attention(*args, attn="fused")
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(dense), rtol=1e-5, atol=1e-5)
+
+    mask = L.causal_mask(8)
+    np.testing.assert_array_equal(
+        np.asarray(L.multi_head_attention(*args, mask=mask, attn="fused")),
+        np.asarray(L.multi_head_attention(*args, mask=mask)),
+    )
