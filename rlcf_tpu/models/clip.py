@@ -221,12 +221,12 @@ def _vit_post_patch(p, cfg: ClipConfig, x, pool=True, remat=False, attn="dense")
     return jnp.dot(x, p["proj"], preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def _vit_encode(p, cfg: ClipConfig, images, pool=True, remat=False):
+def _vit_encode(p, cfg: ClipConfig, images, pool=True, remat=False, attn="dense"):
     """images: [B, H, W, 3] NHWC, normalized. Cast to the tower's dtype like
     the reference's ``image.type(self.dtype)`` (`TPT/clip/model.py:340-341`)."""
     x = L.conv2d(images.astype(p["conv_w"].dtype), p["conv_w"], stride=cfg.vision_patch_size, padding="VALID")
     B, gh, gw, W = x.shape
-    return _vit_post_patch(p, cfg, x.reshape(B, gh * gw, W), pool=pool, remat=remat)
+    return _vit_post_patch(p, cfg, x.reshape(B, gh * gw, W), pool=pool, remat=remat, attn=attn)
 
 
 def patch_tokens_from_images(images, patch_size: int):
@@ -327,13 +327,15 @@ def _resnet_encode(p, cfg: ClipConfig, images, bn_prior=None):
     return _attention_pool(x, p["attnpool"], cfg.vision_heads)
 
 
-def encode_image(params, cfg: ClipConfig, images, pool=True, bn_prior=None, remat=False):
+def encode_image(params, cfg: ClipConfig, images, pool=True, bn_prior=None, remat=False, attn="dense"):
     """Encode NHWC images to [B, embed_dim] (or all tokens if ``pool=False``).
 
     ``remat``: checkpoint ViT layers — required by paths that differentiate
-    through the tower on large view batches (encoder TTA); free otherwise."""
+    through the tower on large view batches (encoder TTA); free otherwise.
+    ``attn``: "fused" routes ViT attention through the VMEM-fused kernel
+    (TPU, unmasked; see `ops/pallas_attention.py`). ResNets ignore both."""
     if cfg.is_vit:
-        return _vit_encode(params["visual"], cfg, images, pool=pool, remat=remat)
+        return _vit_encode(params["visual"], cfg, images, pool=pool, remat=remat, attn=attn)
     return _resnet_encode(params["visual"], cfg, images, bn_prior=bn_prior)
 
 

@@ -326,8 +326,8 @@ def beam_generate(
     beam_scores = jnp.full((B, K), NEG, jnp.float32).at[:, 0].set(0.0)  # only beam 0 live initially
     finished = jnp.zeros((B, K), bool)
 
-    def step(carry, step_idx):
-        seqs, beam_scores, finished, cache, logits = carry
+    def step(carry):
+        step_idx, seqs, beam_scores, finished, cache, logits = carry
         logp = jax.nn.log_softmax(logits.reshape(B, K, -1), axis=-1)  # [B, K, V]
         V = logp.shape[-1]
         # min-length: no EOS before min_length
@@ -354,11 +354,19 @@ def beam_generate(
         # next logits
         tok_flat = jnp.where(was_finished, cfg.pad_token_id, token).reshape(B * K)
         logits, cache = _decode_step(params, cfg, tok_flat, cache, t0 + step_idx)
-        return (seqs, top_scores, now_finished, cache, logits), None
+        return (step_idx + 1, seqs, top_scores, now_finished, cache, logits)
+
+    # while_loop with early exit: once every beam of every batch item has
+    # emitted EOS, further steps only append pad at no score cost — identical
+    # results, and captions finish at ~10-20 of the 50-token budget (each
+    # decode step streams all OPT weights, so steps are the cost unit)
+    def cond(carry):
+        step_idx, _, _, finished, _, _ = carry
+        return (step_idx < max_new_tokens) & ~jnp.all(finished)
 
     init_logits = logits0  # [B*K, V]
-    carry = (seqs, beam_scores, finished, cache, init_logits)
-    (seqs, beam_scores, finished, _, _), _ = jax.lax.scan(step, carry, jnp.arange(max_new_tokens))
+    carry = (jnp.int32(0), seqs, beam_scores, finished, cache, init_logits)
+    (_, seqs, beam_scores, finished, _, _) = jax.lax.while_loop(cond, step, carry)
 
     # rank by normalized score
     lengths = jnp.sum(seqs != cfg.pad_token_id, axis=-1).clip(1)
@@ -402,20 +410,26 @@ def nucleus_generate(
         masked = jnp.where(logits < cutoff, -1e9, logits)
         return jax.random.categorical(key, masked, axis=-1)
 
-    def step(carry, inp):
-        seqs, finished, cache, logits = carry
-        step_idx, key = inp
+    keys = jax.random.split(rng, max_new_tokens)
+
+    def step(carry):
+        step_idx, seqs, finished, cache, logits = carry
         V = logits.shape[-1]
         logits = jnp.where((step_idx < min_length) & (jnp.arange(V)[None] == eos), -1e9, logits)
-        token = sample_top_p(key, logits)
+        token = sample_top_p(keys[step_idx], logits)
         token = jnp.where(finished, cfg.pad_token_id, token)
         seqs = seqs.at[:, step_idx].set(token)
         finished = finished | (token == eos)
         logits, cache = _decode_step(params, cfg, token, cache, t0 + step_idx)
-        return (seqs, finished, cache, logits), None
+        return (step_idx + 1, seqs, finished, cache, logits)
 
-    keys = jax.random.split(rng, max_new_tokens)
-    (seqs, _, _, _), _ = jax.lax.scan(step, (seqs, finished, cache, logits0), (jnp.arange(max_new_tokens), keys))
+    def cond(carry):  # early exit: all samples hit EOS (identical output)
+        step_idx, _, finished, _, _ = carry
+        return (step_idx < max_new_tokens) & ~jnp.all(finished)
+
+    (_, seqs, _, _, _) = jax.lax.while_loop(
+        cond, step, (jnp.int32(0), seqs, finished, cache, logits0)
+    )
     return seqs.reshape(B, K, max_new_tokens)
 
 

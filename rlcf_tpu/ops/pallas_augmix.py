@@ -425,10 +425,22 @@ def fused_views(images_planar, rngs, *, n_views: int, resolution: int = 224,
     )
     params = jax.vmap(sample)(rngs)
     N = images_planar.shape[0]
-    params = {k: v.reshape((N * n_views,) + v.shape[2:]) for k, v in params.items()}
     basew = _bicubic_matrix(src_size, resolution)
-    views = _fused_call(images_planar, params, basew, R=resolution, S=src_size,
-                        V=n_views, max_shift=max_shift, interpret=interpret)
+    # Scalar-prefetch arrays live in SMEM (~1 MB); at N*V rows they overflow
+    # past ~4 images x 64 views, so launch the kernel in image chunks (the
+    # calls pipeline under async dispatch — no wall-clock cost).
+    chunk = max(1, 256 // n_views)
+    outs = []
+    for s0 in range(0, N, chunk):
+        n = min(chunk, N - s0)
+        p_chunk = {
+            k: v[s0:s0 + n].reshape((n * n_views,) + v.shape[2:]) for k, v in params.items()
+        }
+        outs.append(
+            _fused_call(images_planar[s0:s0 + n], p_chunk, basew, R=resolution,
+                        S=src_size, V=n_views, max_shift=max_shift, interpret=interpret)
+        )
+    views = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     if p_policy == 0:
         return views
     ptoks = patchify_planar_u8(views, p_policy)

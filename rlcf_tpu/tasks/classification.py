@@ -263,13 +263,21 @@ class PromptTTAClassifier:
             reward_params_arg = reward_model.params
             reward_feats_arg = reward_model.class_features
 
+        # fused attention for frozen towers: TPU-only, single-chip (a dp-
+        # sharded pallas_call would need shard_map), ViT-only
+        attn_for = lambda c: "fused" if (
+            jax.default_backend() == "tpu" and self.mesh is None and c.is_vit
+        ) else "dense"
+
         def _reward_encode(rparams_, rcfg_, views, r_class_feats):
             from ..ops.image_ops import resize_bicubic_align_corners
 
             res = rcfg_.image_resolution
             if views.shape[1] != res:
                 views = resize_bicubic_align_corners(views, res)
-            feats = clip_model.normalize(clip_model.encode_image(rparams_, rcfg_, views).astype(jnp.float32))
+            feats = clip_model.normalize(
+                clip_model.encode_image(rparams_, rcfg_, views, attn=attn_for(rcfg_)).astype(jnp.float32)
+            )
             return jnp.dot(feats, r_class_feats.T, preferred_element_type=jnp.float32)
 
         @functools.partial(jax.jit, static_argnames=("views_shape",))
@@ -291,7 +299,7 @@ class PromptTTAClassifier:
             N, B = views_batch.shape[:2]
             n_keep = max(1, int(B * ecfg.selection_p))
             flat = views_batch.reshape((N * B,) + views_batch.shape[2:])
-            img = clip_model.encode_image(cparams, cfg, flat)
+            img = clip_model.encode_image(cparams, cfg, flat, attn=attn_for(cfg))
             img_feats = clip_model.normalize(img.astype(jnp.float32)).reshape(N, B, -1)
             scale_ = jnp.exp(cparams["logit_scale"]).astype(jnp.float32)
             logits0 = scale_ * jnp.einsum("nbe,ce->nbc", img_feats, tf0_, preferred_element_type=jnp.float32)
@@ -346,7 +354,7 @@ class PromptTTAClassifier:
         # frozen-tower encodes route through the VMEM-fused attention kernel
         # on TPU (the dense [B,H,T,T] fp32 HBM round trip measured 37% of the
         # image-tower forward for 4% of its FLOPs)
-        attn_impl = "fused" if jax.default_backend() == "tpu" else "dense"
+        attn_impl = attn_for(cfg)
 
         @jax.jit
         def prepare_tokens(cparams, rparams, tf0_, r_class_feats, ptoks, rtoks=None):

@@ -238,7 +238,9 @@ def bench_caption_tta(quick=False):
         V5E_BF16_PEAK, text_tower_flops, transformer_decode_flops, vit_tower_flops,
     )
 
-    group = 2 if quick else 4
+    # group 8: each decode step streams the full OPT weights, so images per
+    # batch amortize the dominant cost (the CLI equivalent: --episode_group 8)
+    group = 2 if quick else 8
     steps, sample_k, max_new = (2, 3, 16) if quick else (4, 6, 50)
     rcfg_arch = C.get_config("ViT-B/16" if quick else "ViT-L/14")
     rparams = jax.jit(lambda k: C.init_clip_params(k, rcfg_arch, dtype=jnp.bfloat16))(jax.random.PRNGKey(1))
