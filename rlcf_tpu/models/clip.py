@@ -349,7 +349,7 @@ def embed_tokens(params, tokens):
     return params["text"]["token_embedding"][tokens]
 
 
-def encode_text_embeds(params, cfg: ClipConfig, embeds, eot_index):
+def encode_text_embeds(params, cfg: ClipConfig, embeds, eot_index, attn="dense"):
     """Text features from pre-assembled token embeddings.
 
     ``eot_index`` [B] selects the pooled position (argmax of token ids in the
@@ -358,7 +358,7 @@ def encode_text_embeds(params, cfg: ClipConfig, embeds, eot_index):
     t = params["text"]
     T = embeds.shape[1]
     x = embeds + t["positional_embedding"][:T].astype(embeds.dtype)
-    x = L.transformer(x, t["blocks"], cfg.text_heads, mask=L.causal_mask(T))
+    x = L.transformer(x, t["blocks"], cfg.text_heads, mask=L.causal_mask(T), attn=attn)
     x = L.layer_norm(x, t["ln_final_w"], t["ln_final_b"])
     pooled = jnp.take_along_axis(x, eot_index[:, None, None], axis=1)[:, 0]
     return jnp.dot(pooled, t["projection"], preferred_element_type=jnp.float32).astype(x.dtype)

@@ -65,13 +65,14 @@ def multi_head_attention(x, qkv_w, qkv_b, out_w, out_b, n_heads: int, mask=None,
     head_dim = D // n_heads
     qkv = linear(x, qkv_w, qkv_b)  # [B, T, 3D]
     scale = 1.0 / np.sqrt(head_dim)
-    if attn == "fused" and mask is None:
+    if attn == "fused":
         # fused path consumes qkv UNSPLIT: the per-head split happens via
         # static lane slices in VMEM, skipping the [B, H, T, D] split/merge
-        # HBM relayouts entirely
+        # HBM relayouts entirely; masked (causal text) attention fuses too,
+        # with a flash-style fused backward for differentiated towers
         from ..ops.pallas_attention import fused_attention
 
-        return linear(fused_attention(qkv, n_heads, float(scale)), out_w, out_b)
+        return linear(fused_attention(qkv, mask, n_heads, float(scale)), out_w, out_b)
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def split_heads(t):

@@ -1,23 +1,25 @@
-"""Fused multi-head attention forward (Pallas, TPU) for the CLIP towers.
+"""Fused multi-head attention (Pallas, TPU) for the CLIP towers — fwd + bwd.
 
 Motivation (measured, PERF.md round 3): in the 64-view policy encode the
 T x T attention segment is 4% of the FLOPs but 37% of the runtime — the
 dense path materializes the [B, H, T, T] fp32 score tensor (and its bf16
-softmax) through HBM between the two attention matmuls (~150 MB/layer for
-256 ViT-B/16 views). This kernel keeps scores/probs entirely in VMEM: one
-grid step per batch image processes all heads with batched dot_generals and
-an in-register fp32 softmax.
+softmax, and four [B, H, T, D] head split/merge relayouts) through HBM
+between the two attention matmuls. The text tower is worse in relative
+terms: at T~16 the attention FLOPs are negligible but the fixed per-layer
+relayout/softmax traffic still dominates its runtime.
+
+Both kernels consume the UNSPLIT qkv projection [B, T, 3·H·D] and touch
+heads only as static lane slices in VMEM; scores/probs live and die
+on-chip. The backward recomputes probs from qkv (flash-attention style) and
+emits dqkv in the same fused layout, so fwd+bwd through a differentiated
+text tower never materializes a head-major tensor in HBM either.
 
 Numerics match the dense path: fp32 score accumulation, max-subtracted fp32
-softmax, probs cast to the input dtype before the value matmul.
+softmax (with optional additive mask — the CLIP causal text mask), probs
+cast to the input dtype before the value matmul; backward is the exact
+softmax/bilinear adjoint in fp32.
 
-Differentiation: a custom VJP recomputes the backward densely from (q, k, v)
-— correct everywhere (vmap/remat included), with the memory profile of
-recomputation. The hot callers are forward-only (frozen towers), so the
-backward is a safety net, not a hot path.
-
-Sequence lengths are NOT required to be 128-multiples (CLIP uses T=197/257);
-VMEM tiles pad internally.
+Sequence lengths are NOT required to be 128-multiples (CLIP uses 16-257).
 """
 
 from __future__ import annotations
@@ -29,70 +31,167 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_NEG_BIG = -1e9  # finite stand-in for the causal mask's -inf (kernel-safe)
 
-def _mha_qkv_kernel(qkv_ref, o_ref, *, n_heads: int, head_dim: int, scale: float):
-    """One batch image per grid step; heads split by static lane slices in
-    VMEM (the XLA path's [B, H, T, D] split/merge transposes are full HBM
-    relayouts — 4 x ~19 MB per ViT-B layer at 256 views)."""
-    qkv = qkv_ref[0]  # [T, 3*H*D]
+
+def _head_slices(qkv, h: int, head_dim: int, HD: int):
+    q = qkv[:, :, h * head_dim:(h + 1) * head_dim]
+    k = qkv[:, :, HD + h * head_dim: HD + (h + 1) * head_dim]
+    v = qkv[:, :, 2 * HD + h * head_dim: 2 * HD + (h + 1) * head_dim]
+    return q, k, v  # each [G, T, D]
+
+
+def _bdot(a, b, contract_a: int, contract_b: int):
+    """Batched (over dim 0) matmul contracting the given dims, fp32 accum."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((contract_a,), (contract_b,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _scores(q, k, mask, scale: float):
+    s = _bdot(q, k, 2, 2) * scale  # [G, T, T]
+    if mask is not None:
+        s = s + mask[None]
+    return s
+
+
+def _softmax(s):
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _mha_fwd_kernel(qkv_ref, *rest, n_heads: int, head_dim: int, scale: float, masked: bool):
+    if masked:
+        mask_ref, o_ref = rest
+        mask = mask_ref[:]
+    else:
+        (o_ref,) = rest
+        mask = None
+    qkv = qkv_ref[:]  # [G, T, 3*H*D] — G sequences per grid step
     HD = n_heads * head_dim
     for h in range(n_heads):
-        q = qkv[:, h * head_dim:(h + 1) * head_dim]
-        k = qkv[:, HD + h * head_dim: HD + (h + 1) * head_dim]
-        v = qkv[:, 2 * HD + h * head_dim: 2 * HD + (h + 1) * head_dim]
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale                                         # [T, T] fp32, VMEM-resident
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[0, :, h * head_dim:(h + 1) * head_dim] = o.astype(o_ref.dtype)
+        q, k, v = _head_slices(qkv, h, head_dim, HD)
+        p = _softmax(_scores(q, k, mask, scale))
+        o = _bdot(p.astype(v.dtype), v, 2, 1)
+        o_ref[:, :, h * head_dim:(h + 1) * head_dim] = o.astype(o_ref.dtype)
 
 
-def _mha_fwd_pallas(qkv, n_heads: int, scale: float, interpret: bool):
+def _mha_bwd_kernel(qkv_ref, g_ref, *rest, n_heads: int, head_dim: int, scale: float, masked: bool):
+    """dqkv from (qkv, g): recompute probs per head in VMEM (flash-style)."""
+    if masked:
+        mask_ref, dqkv_ref = rest
+        mask = mask_ref[:]
+    else:
+        (dqkv_ref,) = rest
+        mask = None
+    qkv = qkv_ref[:]  # [G, T, 3*H*D]
+    g = g_ref[:]      # [G, T, H*D]
+    HD = n_heads * head_dim
+    f32 = jnp.float32
+    for h in range(n_heads):
+        q, k, v = _head_slices(qkv, h, head_dim, HD)
+        p = _softmax(_scores(q, k, mask, scale))              # [G, T, T] f32
+        g_h = g[:, :, h * head_dim:(h + 1) * head_dim].astype(f32)
+        # dv = p^T g ; dp = g v^T ; ds = p*(dp - rowsum(dp*p)) ; dq = ds k ; dk = ds^T q
+        dv = _bdot(p, g_h, 1, 1)
+        dp = _bdot(g_h, v.astype(f32), 2, 2)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = _bdot(ds, k.astype(f32), 2, 1) * scale
+        dk = _bdot(ds, q.astype(f32), 1, 1) * scale
+        dt = dqkv_ref.dtype
+        dqkv_ref[:, :, h * head_dim:(h + 1) * head_dim] = dq.astype(dt)
+        dqkv_ref[:, :, HD + h * head_dim: HD + (h + 1) * head_dim] = dk.astype(dt)
+        dqkv_ref[:, :, 2 * HD + h * head_dim: 2 * HD + (h + 1) * head_dim] = dv.astype(dt)
+
+
+def _seqs_per_step(B: int, T: int, threeHD: int) -> int:
+    """Sequences per grid step: enough per-step work to amortize grid
+    overhead (T~16 towers need tens of seqs/step; T=197+ towers take 1),
+    bounded by VMEM — the bwd holds qkv + dqkv blocks (2 x G·T·3HD bf16)
+    plus per-head [G, T, T] fp32 scores — and by divisibility of B."""
+    budget = 2 * 1024 * 1024  # bytes for the qkv block (x2 with dqkv ~ 4 MB)
+    g = min(B, max(1, budget // (T * threeHD * 2)), max(1, 65536 // (T * T)))
+    while B % g:
+        g -= 1
+    return max(g, 1)
+
+
+def _call(kernel, qkv, extra_arrays, out_shape, interpret: bool, G: int):
+    B, T, threeHD = qkv.shape
+    specs = [pl.BlockSpec((G, T, threeHD), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)]
+    args = [qkv]
+    for arr in extra_arrays:
+        if arr.ndim == 3:  # per-batch tensor (cotangent)
+            specs.append(pl.BlockSpec((G,) + arr.shape[1:], lambda b: (b, 0, 0), memory_space=pltpu.VMEM))
+        else:  # shared [T, T] mask
+            specs.append(pl.BlockSpec(arr.shape, lambda b: (0, 0), memory_space=pltpu.VMEM))
+        args.append(arr)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((G,) + out_shape[1:], lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(out_shape, qkv.dtype),
+        interpret=interpret,
+    )(*args)
+
+
+def _prep_mask(mask):
+    """Clamp -inf to a finite floor (exp under the kernel handles it exactly
+    like the dense path after max-subtraction)."""
+    return jnp.maximum(mask.astype(jnp.float32), _NEG_BIG)
+
+
+def _mha_fwd_pallas(qkv, mask, n_heads: int, scale: float, interpret: bool):
     B, T, threeHD = qkv.shape
     HD = threeHD // 3
-    return pl.pallas_call(
-        functools.partial(_mha_qkv_kernel, n_heads=n_heads, head_dim=HD // n_heads, scale=scale),
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, T, threeHD), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, T, HD), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, T, HD), qkv.dtype),
-        interpret=interpret,
-    )(qkv)
+    kern = functools.partial(_mha_fwd_kernel, n_heads=n_heads, head_dim=HD // n_heads,
+                             scale=scale, masked=mask is not None)
+    extra = [] if mask is None else [_prep_mask(mask)]
+    return _call(kern, qkv, extra, (B, T, HD), interpret, _seqs_per_step(B, T, threeHD))
 
 
-def _dense_reference(qkv, n_heads: int, scale: float):
-    """The dense math (mirrors layers.multi_head_attention's unmasked path)."""
+def _mha_bwd_pallas(qkv, g, mask, n_heads: int, scale: float, interpret: bool):
+    B, T, threeHD = qkv.shape
+    HD = threeHD // 3
+    kern = functools.partial(_mha_bwd_kernel, n_heads=n_heads, head_dim=HD // n_heads,
+                             scale=scale, masked=mask is not None)
+    extra = [g] if mask is None else [g, _prep_mask(mask)]
+    return _call(kern, qkv, extra, (B, T, threeHD), interpret, _seqs_per_step(B, T, threeHD))
+
+
+def _dense_reference(qkv, n_heads: int, scale: float, mask=None):
+    """The dense math (mirrors layers.multi_head_attention)."""
     B, T, threeHD = qkv.shape
     D = threeHD // 3 // n_heads
     q, k, v = jnp.split(qkv, 3, axis=-1)
     sh = lambda t: t.reshape(B, T, n_heads, D).transpose(0, 2, 1, 3)
     q, k, v = sh(q), sh(k), sh(v)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = logits + mask.astype(logits.dtype)
     probs = jax.nn.softmax(logits, axis=-1).astype(qkv.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32).astype(qkv.dtype)
     return out.transpose(0, 2, 1, 3).reshape(B, T, n_heads * D)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def fused_attention(qkv, n_heads: int, scale: float, interpret: bool = False):
-    """Unmasked MHA from the fused projection: [B, T, 3·H·D] -> [B, T, H·D]."""
-    return _mha_fwd_pallas(qkv, n_heads, scale, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_attention(qkv, mask, n_heads: int, scale: float, interpret: bool = False):
+    """MHA from the fused projection: [B, T, 3·H·D] (+ optional additive
+    [T, T] mask) -> [B, T, H·D]."""
+    return _mha_fwd_pallas(qkv, mask, n_heads, scale, interpret)
 
 
-def _fwd(qkv, n_heads, scale, interpret):
-    return _mha_fwd_pallas(qkv, n_heads, scale, interpret), (qkv,)
+def _fwd(qkv, mask, n_heads, scale, interpret):
+    return _mha_fwd_pallas(qkv, mask, n_heads, scale, interpret), (qkv, mask)
 
 
 def _bwd(n_heads, scale, interpret, res, g):
-    (qkv,) = res
-    _, vjp = jax.vjp(lambda t: _dense_reference(t, n_heads, scale), qkv)
-    return vjp(g)
+    qkv, mask = res
+    dqkv = _mha_bwd_pallas(qkv, g, mask, n_heads, scale, interpret)
+    return dqkv, None
 
 
 fused_attention.defvjp(_fwd, _bwd)

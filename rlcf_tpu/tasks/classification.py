@@ -222,6 +222,16 @@ class PromptTTAClassifier:
         else:
             trainable0 = pt.ctx0
 
+        # fused attention for frozen towers AND the episode's text fwd+bwd:
+        # TPU-only, single-chip (a dp-sharded pallas_call would need
+        # shard_map), ViT towers only. The text kernel is G-blocked — one
+        # grid step per ~40 sequences at T~16; one-per-sequence granularity
+        # measured 64.7 -> 78.3 ms/img before the blocking
+        attn_for = lambda c: "fused" if (
+            jax.default_backend() == "tpu" and self.mesh is None and c.is_vit
+        ) else "dense"
+        attn_text = attn_for(cfg)
+
         def text_features(cparams, trainable, pt_a):
             if learned_cls:
                 prompts = P.splice_arrays(
@@ -229,7 +239,7 @@ class PromptTTAClassifier:
                 )
             else:
                 prompts = P.splice_arrays(trainable, pt_a["fixed_embed"], pt_a["ctx_map"])
-            feats = clip_model.encode_text_embeds(cparams, cfg, prompts, pt_a["eot_idx"])
+            feats = clip_model.encode_text_embeds(cparams, cfg, prompts, pt_a["eot_idx"], attn=attn_text)
             return clip_model.normalize(feats.astype(jnp.float32))
 
         # Initial text features are per-dataset constants: confidence selection
@@ -262,12 +272,6 @@ class PromptTTAClassifier:
             member_cfgs = None
             reward_params_arg = reward_model.params
             reward_feats_arg = reward_model.class_features
-
-        # fused attention for frozen towers: TPU-only, single-chip (a dp-
-        # sharded pallas_call would need shard_map), ViT-only
-        attn_for = lambda c: "fused" if (
-            jax.default_backend() == "tpu" and self.mesh is None and c.is_vit
-        ) else "dense"
 
         def _reward_encode(rparams_, rcfg_, views, r_class_feats):
             from ..ops.image_ops import resize_bicubic_align_corners

@@ -12,8 +12,17 @@ from rlcf_tpu.ops.pallas_attention import _dense_reference, fused_attention
 def test_fused_attention_matches_dense():
     rng = np.random.default_rng(0)
     qkv = jnp.asarray(rng.normal(size=(3, 17, 3 * 32)).astype(np.float32))
-    got = fused_attention(qkv, n_heads=4, scale=0.3535, interpret=True)
+    got = fused_attention(qkv, None, n_heads=4, scale=0.3535, interpret=True)
     want = _dense_reference(qkv, n_heads=4, scale=0.3535)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_attention_masked_matches_dense():
+    rng = np.random.default_rng(3)
+    qkv = jnp.asarray(rng.normal(size=(2, 13, 3 * 32)).astype(np.float32))
+    mask = L.causal_mask(13)
+    got = fused_attention(qkv, mask, n_heads=4, scale=0.25, interpret=True)
+    want = _dense_reference(qkv, n_heads=4, scale=0.25, mask=mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
@@ -21,8 +30,19 @@ def test_fused_attention_grad_matches_dense():
     rng = np.random.default_rng(1)
     qkv = jnp.asarray(rng.normal(size=(2, 9, 3 * 16)).astype(np.float32))
 
-    g_fused = jax.grad(lambda t: jnp.sum(fused_attention(t, 2, 0.25, True) ** 2))(qkv)
+    g_fused = jax.grad(lambda t: jnp.sum(fused_attention(t, None, 2, 0.25, True) ** 2))(qkv)
     g_dense = jax.grad(lambda t: jnp.sum(_dense_reference(t, 2, 0.25) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_dense), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_attention_masked_grad_matches_dense():
+    """The flash-style fused backward == autodiff of the dense path (causal)."""
+    rng = np.random.default_rng(4)
+    qkv = jnp.asarray(rng.normal(size=(2, 11, 3 * 16)).astype(np.float32))
+    mask = L.causal_mask(11)
+
+    g_fused = jax.grad(lambda t: jnp.sum(fused_attention(t, mask, 2, 0.25, True) ** 2))(qkv)
+    g_dense = jax.grad(lambda t: jnp.sum(_dense_reference(t, 2, 0.25, mask=mask) ** 2))(qkv)
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_dense), rtol=1e-4, atol=1e-4)
 
 
@@ -31,7 +51,7 @@ def test_multi_head_attention_fused_routing(monkeypatch):
     masked input must keep the dense path (fused has no mask support)."""
     orig = PA.fused_attention
     monkeypatch.setattr(  # no TPU in tests: route the kernel through interpret
-        PA, "fused_attention", lambda qkv, h, s, interpret=False: orig(qkv, h, s, True)
+        PA, "fused_attention", lambda qkv, m, h, s, interpret=False: orig(qkv, m, h, s, True)
     )
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.normal(size=(2, 8, 32)).astype(np.float32))
@@ -44,7 +64,8 @@ def test_multi_head_attention_fused_routing(monkeypatch):
     np.testing.assert_allclose(np.asarray(fused), np.asarray(dense), rtol=1e-5, atol=1e-5)
 
     mask = L.causal_mask(8)
-    np.testing.assert_array_equal(
+    np.testing.assert_allclose(
         np.asarray(L.multi_head_attention(*args, mask=mask, attn="fused")),
         np.asarray(L.multi_head_attention(*args, mask=mask)),
+        rtol=1e-5, atol=1e-5,
     )
