@@ -339,6 +339,20 @@ def encode_image(params, cfg: ClipConfig, images, pool=True, bn_prior=None, rema
     return _resnet_encode(params["visual"], cfg, images, bn_prior=bn_prior)
 
 
+def best_attn(cfg: "ClipConfig | None" = None, sharded: bool = False) -> str:
+    """Pick the attention impl for a frozen/differentiated tower at trace
+    time: the VMEM-fused kernel on a single TPU chip (ViT vision towers and
+    any text tower — it carries a flash-style fused backward), dense
+    elsewhere (CPU tests, dp/tp-sharded programs, ResNet towers)."""
+    import jax as _jax
+
+    if sharded or _jax.default_backend() != "tpu":
+        return "dense"
+    if cfg is not None and not cfg.is_vit:
+        return "dense"
+    return "fused"
+
+
 # ---------------------------------------------------------------------------
 # Text tower
 # ---------------------------------------------------------------------------
@@ -364,12 +378,12 @@ def encode_text_embeds(params, cfg: ClipConfig, embeds, eot_index, attn="dense")
     return jnp.dot(pooled, t["projection"], preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def encode_text(params, cfg: ClipConfig, tokens, pool=True):
+def encode_text(params, cfg: ClipConfig, tokens, pool=True, attn="dense"):
     """Standard text encoding from token ids [B, T] (T <= context_length)."""
     embeds = embed_tokens(params, tokens)
     if pool:
         eot_index = jnp.argmax(tokens, axis=-1)
-        return encode_text_embeds(params, cfg, embeds, eot_index)
+        return encode_text_embeds(params, cfg, embeds, eot_index, attn=attn)
     t = params["text"]
     T = tokens.shape[1]
     x = embeds + t["positional_embedding"][:T].astype(embeds.dtype)

@@ -361,9 +361,12 @@ class CaptionTTA:
             img = image[None]
             if img.shape[1] != res:
                 img = resize_bicubic_align_corners(img, res)
-            img_feat = _clip.normalize(_clip.encode_image(rparams, reward_cfg_arch, img).astype(jnp.float32))
+            a_i = _clip.best_attn(reward_cfg_arch, sharded=self.mesh is not None)
+            a_t = _clip.best_attn(sharded=self.mesh is not None)
+            img_feat = _clip.normalize(
+                _clip.encode_image(rparams, reward_cfg_arch, img, attn=a_i).astype(jnp.float32))
             txt_feats = _clip.normalize(
-                _clip.encode_text(rparams, reward_cfg_arch, caption_clip_tokens).astype(jnp.float32)
+                _clip.encode_text(rparams, reward_cfg_arch, caption_clip_tokens, attn=a_t).astype(jnp.float32)
             )
             sim = jnp.sum(txt_feats * img_feat, axis=-1)  # [K]
             scores = clipscore(sim, rcfg.clipscore_weight)
@@ -430,9 +433,12 @@ class CaptionTTA:
             res = reward_cfg_arch.image_resolution
             if images.shape[1] != res:
                 images = resize_bicubic_align_corners(images, res)
-            img_feats = _clip.normalize(_clip.encode_image(rparams, reward_cfg_arch, images).astype(jnp.float32))
+            a_i = _clip.best_attn(reward_cfg_arch, sharded=self.mesh is not None)
+            a_t = _clip.best_attn(sharded=self.mesh is not None)
+            img_feats = _clip.normalize(
+                _clip.encode_image(rparams, reward_cfg_arch, images, attn=a_i).astype(jnp.float32))
             txt = _clip.normalize(
-                _clip.encode_text(rparams, reward_cfg_arch, caption_clip_tokens.reshape(N * K, -1)).astype(jnp.float32)
+                _clip.encode_text(rparams, reward_cfg_arch, caption_clip_tokens.reshape(N * K, -1), attn=a_t).astype(jnp.float32)
             ).reshape(N, K, -1)
             sim = jnp.einsum("nke,ne->nk", txt, img_feats)
             scores = clipscore(sim, rcfg.clipscore_weight)

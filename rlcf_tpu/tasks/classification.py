@@ -657,7 +657,10 @@ class EncoderTTAClassifier:
                 # view batch's visual tower — storing all activations OOMs HBM
                 # at 64 views x group>1 (measured 21.5 GB); checkpointing the
                 # scan-over-layers recomputes them (bwd +~1 fwd of FLOPs)
-                feats = clip_model.encode_image(params, cfg, cache["views"][idx], bn_prior=bn_prior, remat=True)
+                feats = clip_model.encode_image(
+                    params, cfg, cache["views"][idx], bn_prior=bn_prior, remat=True,
+                    attn=clip_model.best_attn(cfg, sharded=self.mesh is not None),
+                )
                 feats = clip_model.normalize(feats.astype(jnp.float32))
                 return scale * jnp.dot(feats, class_feats.T, preferred_element_type=jnp.float32)
 
@@ -675,7 +678,10 @@ class EncoderTTAClassifier:
                 if views_sel.shape[1] != res:
                     views_sel = resize_bicubic_align_corners(views_sel, res)
                 feats = clip_model.normalize(
-                    clip_model.encode_image(rparams, reward_model.cfg, views_sel).astype(jnp.float32)
+                    clip_model.encode_image(
+                        rparams, reward_model.cfg, views_sel,
+                        attn=clip_model.best_attn(reward_model.cfg, sharded=self.mesh is not None),
+                    ).astype(jnp.float32)
                 )
                 return jnp.dot(feats, r_class_feats.T, preferred_element_type=jnp.float32)
 

@@ -201,6 +201,11 @@ class RetrievalTTA:
         reward_model = self.reward
         direction = self.direction
         rcfg_arch = reward_model.cfg if hasattr(reward_model, "cfg") else None
+        # fused attention (with its fused backward) for the per-query towers;
+        # dense when sharded / off-TPU / ResNet
+        sharded = self.mesh is not None
+        attn_p = clip_model.best_attn(cfg if direction == "i2t" else None, sharded=sharded)
+        attn_r = clip_model.best_attn(rcfg_arch if direction == "i2t" else None, sharded=sharded)
 
         # Params and gallery features flow in as jit arguments — closure
         # capture would bake them into the executable (compile explosion).
@@ -209,7 +214,7 @@ class RetrievalTTA:
 
                 def policy_logits(visual, cache, idx):
                     params = {**cparams, "visual": visual}
-                    feats = clip_model.encode_image(params, cfg, cache["views"][idx])
+                    feats = clip_model.encode_image(params, cfg, cache["views"][idx], attn=attn_p)
                     feats = clip_model.normalize(feats.astype(jnp.float32))
                     return scale * jnp.dot(feats, gallery.T, preferred_element_type=jnp.float32)
 
@@ -220,7 +225,7 @@ class RetrievalTTA:
                     if views_sel.shape[1] != res:
                         views_sel = resize_bicubic_align_corners(views_sel, res)
                     feats = clip_model.normalize(
-                        clip_model.encode_image(rparams, rcfg_arch, views_sel).astype(jnp.float32)
+                        clip_model.encode_image(rparams, rcfg_arch, views_sel, attn=attn_r).astype(jnp.float32)
                     )
                     return jnp.dot(feats, r_gallery.T, preferred_element_type=jnp.float32)
 
@@ -228,13 +233,13 @@ class RetrievalTTA:
 
                 def policy_logits(text_params, cache, idx):
                     params = {**cparams, "text": text_params}
-                    feats = clip_model.encode_text(params, cfg, cache["views"][idx])
+                    feats = clip_model.encode_text(params, cfg, cache["views"][idx], attn=attn_p)
                     feats = clip_model.normalize(feats.astype(jnp.float32))
                     return scale * jnp.dot(feats, gallery.T, preferred_element_type=jnp.float32)
 
                 def reward_sim(tokens_sel):
                     feats = clip_model.normalize(
-                        clip_model.encode_text(rparams, rcfg_arch, tokens_sel).astype(jnp.float32)
+                        clip_model.encode_text(rparams, rcfg_arch, tokens_sel, attn=attn_r).astype(jnp.float32)
                     )
                     return jnp.dot(feats, r_gallery.T, preferred_element_type=jnp.float32)
 
