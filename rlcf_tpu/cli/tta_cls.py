@@ -132,15 +132,13 @@ def main(argv=None):
     if args.viewgen == "auto":
         from ..ops.pallas_augmix import fused_available
 
-        args.viewgen = "fused" if (fused_available() and token_ok and not args.hard_aug and mesh is None) else "device"
+        args.viewgen = "fused" if (fused_available() and token_ok and not args.hard_aug) else "device"
         print(f"viewgen: auto -> {args.viewgen}")
     if args.viewgen == "fused":
         if args.hard_aug:
             raise SystemExit("--viewgen fused does not implement --hard_aug (BYOL); use --viewgen device")
         if not token_ok:
             raise SystemExit("--viewgen fused needs a ViT policy in token mode; use --viewgen device")
-        if mesh is not None:
-            raise SystemExit("--viewgen fused is single-chip (for now); drop --tp or use --viewgen native")
         gen = None
     elif args.viewgen == "native":
         from ..data import native as native_mod
@@ -208,17 +206,21 @@ def main(argv=None):
                 return
             imgs = np.stack([_to_canonical(im, 256) for im in group_imgs])
             if args.viewgen == "fused":  # all viewgen on device, in one kernel
-                from ..ops.pallas_augmix import fused_views
+                from ..ops.pallas_augmix import fused_views, fused_views_sharded
 
                 keys = jax.random.split(jax.random.PRNGKey(args.seed * 100003 + rng_counter[0]), len(group_imgs))
                 rng_counter[0] += 1
                 planar = np.ascontiguousarray(imgs.astype(np.uint8).transpose(0, 3, 1, 2))
-                views = fused_views(
-                    jnp.asarray(planar), keys, n_views=args.batch_size,
-                    resolution=args.resolution, src_size=256, augmix=bool(args.augmix),
-                    p_policy=cfg.vision_patch_size,
+                fkw = dict(
+                    n_views=args.batch_size, resolution=args.resolution, src_size=256,
+                    augmix=bool(args.augmix), p_policy=cfg.vision_patch_size,
                     p_reward=clf.reward.cfg.vision_patch_size if reward_same_res else 0,
                 )
+                if mesh is not None and len(group_imgs) % mesh.shape["dp"] == 0:
+                    # multi-chip: viewgen shards over dp alongside the episodes
+                    views = fused_views_sharded(jnp.asarray(planar), keys, mesh, **fkw)
+                else:
+                    views = fused_views(jnp.asarray(planar), keys, **fkw)
             elif gen is None:  # native host pipeline, raw u8 (device normalizes)
                 if use_tokens:
                     from ..data.native import generate_views_native_patch_u8

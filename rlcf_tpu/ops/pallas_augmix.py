@@ -451,3 +451,29 @@ def fused_views(images_planar, rngs, *, n_views: int, resolution: int = 224,
 
 def fused_available() -> bool:
     return jax.default_backend() == "tpu"
+
+
+def fused_views_sharded(images_planar, rngs, mesh, **kwargs):
+    """Multi-chip fused viewgen: images/rngs shard over the mesh's dp axis,
+    each chip runs the kernel on its slice (episode-DP is the framework's
+    first-class axis — viewgen rides the same partition as the episodes that
+    consume it, so tokens come out already dp-sharded for adapt_tokens).
+
+    ``images_planar`` [N, 3, S, S] with N divisible by dp; kwargs as
+    :func:`fused_views`.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    dp = mesh.shape["dp"]
+    if images_planar.shape[0] % dp:
+        raise ValueError(
+            f"fused_views_sharded: batch {images_planar.shape[0]} must tile dp={dp}"
+        )
+    n_out = 2 if kwargs.get("p_reward", 0) else 1
+    fn = functools.partial(fused_views, **kwargs)
+    spec_in = (P("dp"), P("dp"))
+    spec_out = (P("dp"),) * n_out if n_out > 1 else P("dp")
+    shmapped = shard_map(fn, mesh=mesh, in_specs=spec_in, out_specs=spec_out,
+                         check_rep=False)
+    return shmapped(images_planar, rngs)

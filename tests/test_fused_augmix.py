@@ -200,3 +200,24 @@ def test_token_outputs_consistent():
     ptoks, rtoks = fused_views(planar, rng[None], p_policy=16, p_reward=8, **kw)
     np.testing.assert_array_equal(np.asarray(patchify_planar_u8(views, 16)), np.asarray(ptoks))
     np.testing.assert_array_equal(np.asarray(patchify_planar_u8(views, 8)), np.asarray(rtoks))
+
+
+def test_fused_views_sharded_matches_unsharded():
+    """shard_map'd fused viewgen (dp over images) == single-device output."""
+    from rlcf_tpu.ops.pallas_augmix import fused_views_sharded
+    from rlcf_tpu.parallel.mesh import make_mesh
+
+    rngs = jax.random.split(jax.random.PRNGKey(11), 8)
+    imgs = jax.random.randint(
+        jax.random.PRNGKey(12), (8, 3, 96, 96), 0, 256, dtype=jnp.int32
+    ).astype(jnp.uint8)
+    kw = dict(n_views=4, resolution=64, src_size=96, augmix=True, interpret=True)
+    mesh = make_mesh(8, tp=1)
+    base = fused_views(imgs, rngs, **kw)
+    shd = fused_views_sharded(imgs, rngs, mesh, **kw)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(shd))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="must tile dp"):
+        fused_views_sharded(imgs[:3], rngs[:3], mesh, **kw)
