@@ -266,8 +266,17 @@ def clipcap_beam_generate(
         cache = {"k": cache["k"][:, src], "v": cache["v"][:, src], "index": cache["index"]}
         return (tokens, scores, seq_lengths, is_stopped, cache), None
 
-    (tokens, scores, seq_lengths, is_stopped, _), _ = jax.lax.scan(
-        step, (tokens, scores, seq_lengths, is_stopped, cache), jnp.arange(1, entry_length)
+    def step_w(carry):
+        i, inner = carry
+        inner, _ = step(inner, i)
+        return (i + 1, inner)
+
+    def cond_w(carry):  # early exit once every beam has stopped
+        i, inner = carry
+        return (i < entry_length) & ~jnp.all(inner[3])
+
+    _, (tokens, scores, seq_lengths, is_stopped, _) = jax.lax.while_loop(
+        cond_w, step_w, (jnp.int32(1), (tokens, scores, seq_lengths, is_stopped, cache))
     )
     final = scores / seq_lengths
     order = jnp.argsort(-final)
@@ -320,8 +329,19 @@ def clipcap_top_p_generate(
         stopped = stopped | (nxt == stop_token) | (nxt == alt_stop_token)
         return (tokens, stopped, cache), wrote
 
-    (tokens, _, _), wrote = jax.lax.scan(step, (tokens, stopped0, cache), jnp.arange(1, entry_length))
-    length = 1 + jnp.sum(wrote.astype(jnp.int32))
+    def step_w(carry):
+        i, inner, n_wrote = carry
+        inner, wrote = step(inner, i)
+        return (i + 1, inner, n_wrote + wrote.astype(jnp.int32))
+
+    def cond_w(carry):  # early exit at the stop token
+        i, inner, _ = carry
+        return (i < entry_length) & ~inner[1]
+
+    _, (tokens, _, _), n_wrote = jax.lax.while_loop(
+        cond_w, step_w, (jnp.int32(1), (tokens, stopped0, cache), jnp.int32(0))
+    )
+    length = 1 + n_wrote
     return tokens, length
 
 

@@ -34,6 +34,11 @@ def _shape_struct(tree):
 def export_serving(fn: Callable, example_args: Sequence, platforms: Optional[Sequence[str]] = None) -> bytes:
     """Lower ``fn(*example_args)`` to serialized StableHLO.
 
+    Note: a function traced on TPU with the fused Pallas attention/viewgen
+    paths embeds Mosaic custom calls — such artifacts serve on TPU only.
+    For a cross-platform artifact, export from a CPU process (tests do) or
+    build the task with dense attention.
+
     ``platforms``: e.g. ("tpu",), ("tpu", "cpu") for a multi-platform
     artifact; defaults to the current backend.
     """
