@@ -227,9 +227,7 @@ class PromptTTAClassifier:
         # shard_map), ViT towers only. The text kernel is G-blocked — one
         # grid step per ~40 sequences at T~16; one-per-sequence granularity
         # measured 64.7 -> 78.3 ms/img before the blocking
-        attn_for = lambda c: "fused" if (
-            jax.default_backend() == "tpu" and self.mesh is None and c.is_vit
-        ) else "dense"
+        attn_for = lambda c: clip_model.best_attn(c, sharded=self.mesh is not None)
         attn_text = attn_for(cfg)
 
         def text_features(cparams, trainable, pt_a):

@@ -69,3 +69,35 @@ def test_multi_head_attention_fused_routing(monkeypatch):
         np.asarray(L.multi_head_attention(*args, mask=mask)),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_full_prompt_episode_fused_matches_dense(monkeypatch):
+    """A complete tiny prompt-TTA run with EVERY tower forced through the
+    fused attention kernel (interpret mode) == the dense run — integration
+    pin for the rollout (CPU CI otherwise only exercises the kernel units)."""
+    from rlcf_tpu.core.episode import EpisodeConfig
+    from rlcf_tpu.core.reward import ClipReward, RewardConfig
+    from rlcf_tpu.models import clip as C
+    from rlcf_tpu.tasks.classification import PromptTTAClassifier
+
+    cfg = C.ClipConfig("fused-int", 16, 32, 1, 32, 16, 32, 1,
+                       vision_heads_override=2, text_heads_override=2)
+    params = C.init_clip_params(jax.random.PRNGKey(0), cfg)
+    reward = ClipReward(C.init_clip_params(jax.random.PRNGKey(1), cfg), cfg, RewardConfig(sample_k=2))
+    ecfg = EpisodeConfig(tta_steps=2, selection_p=0.5, lr=5e-3, sample_k=2)
+    names = ["cat", "dog", "owl", "car"]
+    views = np.random.default_rng(0).normal(size=(2, 4, 32, 32, 3)).astype(np.float32)
+
+    dense_clf = PromptTTAClassifier(params, cfg, reward, ecfg, ctx_init="a photo of a")
+    dense_clf.setup(names)
+    lg_dense, _ = dense_clf.adapt(views)
+
+    orig = PA.fused_attention
+    monkeypatch.setattr(
+        PA, "fused_attention", lambda qkv, m, h, s, interpret=False: orig(qkv, m, h, s, True)
+    )
+    monkeypatch.setattr(C, "best_attn", lambda cfg=None, sharded=False: "fused")
+    fused_clf = PromptTTAClassifier(params, cfg, reward, ecfg, ctx_init="a photo of a")
+    fused_clf.setup(names)
+    lg_fused, _ = fused_clf.adapt(views)
+    np.testing.assert_allclose(np.asarray(lg_fused), np.asarray(lg_dense), rtol=2e-4, atol=2e-4)
