@@ -55,9 +55,14 @@ def splice_arrays(ctx, fixed_embed, ctx_map, cls=None, cls_mask=None):
     i.e. model weights) lets jitted consumers avoid baking a [C, T, D]
     constant into the executable and keeps serving exports weight-agnostic.
     """
-    gather = ctx[jnp.clip(ctx_map, 0)]                            # [C, T, D]
-    use_ctx = (ctx_map >= 0)[..., None].astype(ctx.dtype)
-    prompts = fixed_embed.astype(ctx.dtype) + gather * use_ctx
+    # one-hot matmul instead of gather: rows with ctx_map == -1 match no
+    # column and contribute zero; forward is an exact single-term sum and the
+    # BACKWARD is a matmul too (the gather's adjoint is a scatter-add, which
+    # runs far off the TPU fast path)
+    onehot = (ctx_map[..., None] == jnp.arange(ctx.shape[0])).astype(ctx.dtype)  # [C, T, n_ctx]
+    prompts = fixed_embed.astype(ctx.dtype) + jnp.einsum(
+        "ctn,nd->ctd", onehot, ctx, preferred_element_type=jnp.float32
+    ).astype(ctx.dtype)
     if cls is not None:
         prompts = prompts + cls[:, None, :] * cls_mask[..., None].astype(ctx.dtype)
     return prompts

@@ -374,7 +374,10 @@ def encode_text_embeds(params, cfg: ClipConfig, embeds, eot_index, attn="dense")
     x = embeds + t["positional_embedding"][:T].astype(embeds.dtype)
     x = L.transformer(x, t["blocks"], cfg.text_heads, mask=L.causal_mask(T), attn=attn)
     x = L.layer_norm(x, t["ln_final_w"], t["ln_final_b"])
-    pooled = jnp.take_along_axis(x, eot_index[:, None, None], axis=1)[:, 0]
+    # EOT pooling as a one-hot mask-sum (exact; the gather and its scatter
+    # adjoint are slow on TPU)
+    sel = (jnp.arange(T)[None, :] == eot_index[:, None]).astype(x.dtype)  # [B, T]
+    pooled = jnp.einsum("bt,btd->bd", sel, x, preferred_element_type=jnp.float32).astype(x.dtype)
     return jnp.dot(pooled, t["projection"], preferred_element_type=jnp.float32).astype(x.dtype)
 
 
