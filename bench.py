@@ -62,11 +62,9 @@ def main():
     backend = os.environ.get("BENCH_VIEWGEN", "fused")
     if backend == "device-matmul":
         backend = "fused"
-    if backend == "fused" and (jax.default_backend() != "tpu" or n_devices > 1):
-        # the Pallas kernel needs a real TPU; multi-chip keeps the dp-sharded
-        # NHWC path (token sharding over dp works, but keep the gate simple)
-        backend = "native" if n_devices > 1 else "device"
-        print(f"# BENCH_VIEWGEN=fused unavailable here; falling back to {backend}", file=sys.stderr)
+    if backend == "fused" and jax.default_backend() != "tpu":
+        backend = "device"
+        print(f"# BENCH_VIEWGEN=fused needs a TPU; falling back to {backend}", file=sys.stderr)
     dtype = jnp.bfloat16
 
     # Multi-chip: shard the episode group over a dp mesh (episodes are
@@ -109,18 +107,20 @@ def main():
         return gen(jnp.asarray(imgs), jax.random.split(jax.random.PRNGKey(seed), group))
 
     if backend == "fused":
-        from rlcf_tpu.ops.pallas_augmix import fused_views
+        from rlcf_tpu.ops.pallas_augmix import fused_views, fused_views_sharded
 
         imgs_planar = jnp.asarray(np.ascontiguousarray(imgs.transpose(0, 3, 1, 2)))
         p_pol, p_rew = pcfg.vision_patch_size, rcfg.vision_patch_size
         reward_same_res = rcfg.is_vit and rcfg.image_resolution == 224
+        fkw = dict(n_views=n_views, resolution=224, src_size=256,
+                   p_policy=p_pol, p_reward=p_rew if reward_same_res else 0)
 
         def make_tokens_fused(seed):
             keys = jax.random.split(jax.random.PRNGKey(seed), group)
-            return fused_views(
-                imgs_planar, keys, n_views=n_views, resolution=224, src_size=256,
-                p_policy=p_pol, p_reward=p_rew if reward_same_res else 0,
-            )
+            if mesh is not None and group % mesh.shape["dp"] == 0:
+                # multi-chip: viewgen shards over dp with the episodes
+                return fused_views_sharded(imgs_planar, keys, mesh, **fkw)
+            return fused_views(imgs_planar, keys, **fkw)
 
         make_views_host = None
     elif backend == "native" and n_devices > 1:

@@ -47,8 +47,8 @@ def test_fused_attention_masked_grad_matches_dense():
 
 
 def test_multi_head_attention_fused_routing(monkeypatch):
-    """layers.multi_head_attention(attn='fused') == dense for unmasked input;
-    masked input must keep the dense path (fused has no mask support)."""
+    """layers.multi_head_attention(attn='fused') == dense, unmasked and
+    masked (the kernel carries the additive causal mask)."""
     orig = PA.fused_attention
     monkeypatch.setattr(  # no TPU in tests: route the kernel through interpret
         PA, "fused_attention", lambda qkv, m, h, s, interpret=False: orig(qkv, m, h, s, True)
