@@ -122,12 +122,14 @@ def main(argv=None):
             params, cfg, reward, ecfg, ctx_init=args.ctx_init or "a photo of a", n_ctx=args.n_ctx, ctx0=ctx0,
             mesh=mesh,
         )
-    # token-mode eligibility (shared by the fused and native backends)
+    # token-mode eligibility (shared by the fused and native backends);
+    # mirrors the classifier's token_mode_ok (ViT policy + single reward) —
+    # checked statically because _prepare_tokens only exists after setup()
     token_ok = (
         not args.cocoop
         and cfg.is_vit
         and args.resolution % cfg.vision_patch_size == 0
-        and getattr(clf, "_prepare_tokens", None) is not None
+        and not args.multiple_reward_models
     )
     if args.viewgen == "auto":
         from ..ops.pallas_augmix import fused_available

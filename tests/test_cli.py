@@ -72,14 +72,24 @@ def test_tta_caption_cli(tmp_path):
     assert (tmp_path / "results_caption.json").exists()
 
 
-def test_tta_cls_cli_native_token_path(tmp_path):
-    """--viewgen native on a ViT policy takes the patch-major token path."""
+def test_tta_cls_cli_native_token_path(tmp_path, monkeypatch):
+    """--viewgen native on a ViT policy takes the patch-major token path —
+    and really does (a pre-setup token_ok check once silently downgraded to
+    the NHWC path because _prepare_tokens only exists after setup())."""
     from rlcf_tpu.data import native
 
     if not native.available():
         pytest.skip("no native toolchain")
     from rlcf_tpu.cli import tta_cls
 
+    used = {}
+    orig = native.generate_views_native_patch_u8
+
+    def spy(*a, **k):
+        used["tokens"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(native, "generate_views_native_patch_u8", spy)
     r = tta_cls.main(
         [".", "--test_sets", "synthetic", "--limit", "2", "--arch", "test-small",
          "--reward_arch", "test-small", "--precision", "fp32", "--resolution", "64",
@@ -88,6 +98,7 @@ def test_tta_cls_cli_native_token_path(tmp_path):
          "--output", str(tmp_path)]
     )
     assert 0 <= r["synthetic"]["top1"] <= 100
+    assert used.get("tokens"), "patch-major token path did not engage"
 
 
 def test_tta_caption_dataset_mode_ids(tmp_path):
