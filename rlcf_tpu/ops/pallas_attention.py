@@ -71,11 +71,19 @@ def _mha_fwd_kernel(qkv_ref, *rest, n_heads: int, head_dim: int, scale: float, m
         mask = None
     qkv = qkv_ref[:]  # [G, T, 3*H*D] — G sequences per grid step
     HD = n_heads * head_dim
+    G = qkv.shape[0]
+    # stack heads along the batch dim so the whole step is ONE batched
+    # dot_general pair (the MXU pipelines across batch; H separate
+    # [T,D]x[D,T] matmuls serialize)
+    q3 = jnp.concatenate([qkv[:, :, h * head_dim:(h + 1) * head_dim] for h in range(n_heads)], axis=0)
+    k3 = jnp.concatenate(
+        [qkv[:, :, HD + h * head_dim: HD + (h + 1) * head_dim] for h in range(n_heads)], axis=0)
+    v3 = jnp.concatenate(
+        [qkv[:, :, 2 * HD + h * head_dim: 2 * HD + (h + 1) * head_dim] for h in range(n_heads)], axis=0)
+    p = _softmax(_scores(q3, k3, mask, scale))   # [H*G, T, T]
+    o = _bdot(p.astype(v3.dtype), v3, 2, 1)      # [H*G, T, D]
     for h in range(n_heads):
-        q, k, v = _head_slices(qkv, h, head_dim, HD)
-        p = _softmax(_scores(q, k, mask, scale))
-        o = _bdot(p.astype(v.dtype), v, 2, 1)
-        o_ref[:, :, h * head_dim:(h + 1) * head_dim] = o.astype(o_ref.dtype)
+        o_ref[:, :, h * head_dim:(h + 1) * head_dim] = o[h * G:(h + 1) * G].astype(o_ref.dtype)
 
 
 def _mha_bwd_kernel(qkv_ref, g_ref, *rest, n_heads: int, head_dim: int, scale: float, masked: bool):
@@ -89,21 +97,30 @@ def _mha_bwd_kernel(qkv_ref, g_ref, *rest, n_heads: int, head_dim: int, scale: f
     qkv = qkv_ref[:]  # [G, T, 3*H*D]
     g = g_ref[:]      # [G, T, H*D]
     HD = n_heads * head_dim
+    G = qkv.shape[0]
     f32 = jnp.float32
+    # heads stacked along batch (see the forward kernel): five batched
+    # dot_generals for the whole step instead of 5 x H serialized small ones
+    q3 = jnp.concatenate([qkv[:, :, h * head_dim:(h + 1) * head_dim] for h in range(n_heads)], axis=0)
+    k3 = jnp.concatenate(
+        [qkv[:, :, HD + h * head_dim: HD + (h + 1) * head_dim] for h in range(n_heads)], axis=0)
+    v3 = jnp.concatenate(
+        [qkv[:, :, 2 * HD + h * head_dim: 2 * HD + (h + 1) * head_dim] for h in range(n_heads)], axis=0)
+    g3 = jnp.concatenate(
+        [g[:, :, h * head_dim:(h + 1) * head_dim] for h in range(n_heads)], axis=0).astype(f32)
+    p = _softmax(_scores(q3, k3, mask, scale))            # [H*G, T, T] f32
+    # dv = p^T g ; dp = g v^T ; ds = p*(dp - rowsum(dp*p)) ; dq = ds k ; dk = ds^T q
+    dv = _bdot(p, g3, 1, 1)
+    dp = _bdot(g3, v3.astype(f32), 2, 2)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = _bdot(ds, k3.astype(f32), 2, 1) * scale
+    dk = _bdot(ds, q3.astype(f32), 1, 1) * scale
+    dt = dqkv_ref.dtype
     for h in range(n_heads):
-        q, k, v = _head_slices(qkv, h, head_dim, HD)
-        p = _softmax(_scores(q, k, mask, scale))              # [G, T, T] f32
-        g_h = g[:, :, h * head_dim:(h + 1) * head_dim].astype(f32)
-        # dv = p^T g ; dp = g v^T ; ds = p*(dp - rowsum(dp*p)) ; dq = ds k ; dk = ds^T q
-        dv = _bdot(p, g_h, 1, 1)
-        dp = _bdot(g_h, v.astype(f32), 2, 2)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dq = _bdot(ds, k.astype(f32), 2, 1) * scale
-        dk = _bdot(ds, q.astype(f32), 1, 1) * scale
-        dt = dqkv_ref.dtype
-        dqkv_ref[:, :, h * head_dim:(h + 1) * head_dim] = dq.astype(dt)
-        dqkv_ref[:, :, HD + h * head_dim: HD + (h + 1) * head_dim] = dk.astype(dt)
-        dqkv_ref[:, :, 2 * HD + h * head_dim: 2 * HD + (h + 1) * head_dim] = dv.astype(dt)
+        sl = slice(h * G, (h + 1) * G)
+        dqkv_ref[:, :, h * head_dim:(h + 1) * head_dim] = dq[sl].astype(dt)
+        dqkv_ref[:, :, HD + h * head_dim: HD + (h + 1) * head_dim] = dk[sl].astype(dt)
+        dqkv_ref[:, :, 2 * HD + h * head_dim: 2 * HD + (h + 1) * head_dim] = dv[sl].astype(dt)
 
 
 def _seqs_per_step(B: int, T: int, threeHD: int) -> int:
@@ -135,6 +152,9 @@ def _call(kernel, qkv, extra_arrays, out_shape, interpret: bool, G: int):
         out_specs=pl.BlockSpec((G,) + out_shape[1:], lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(out_shape, qkv.dtype),
         interpret=interpret,
+        # the stacked-head bwd holds ~3 x [H*G, T, T] fp32 score tensors; at
+        # ViT-L shapes that exceeds the 16 MB default scoped limit
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(*args)
 
 
