@@ -350,25 +350,35 @@ class CaptionTTA:
             return seqs[:, 0]
 
         @jax.jit
-        def reward_of(rparams, image, caption_clip_tokens):
-            """CLIPScore(image, K captions) -> processed rewards [K]."""
-            from ..models import clip as _clip
-            from ..core.losses import clipscore, rewards_post_process
+        def reward_image_feat(rparams, images):
+            """Frozen reward image features [N, E], computed ONCE per episode.
 
+            The captions change every TTA step; the image does not — hoisting
+            the ViT reward encode out of the step loop saves (steps-1) full
+            reward-tower forwards per image (the reference recomputes it each
+            step through `get_clip_score`, `capdec_tta.py:104-110`; the math
+            is identical because the feature is bit-identical)."""
+            from ..models import clip as _clip
             from ..ops.image_ops import resize_bicubic_align_corners
 
             res = reward_cfg_arch.image_resolution
-            img = image[None]
-            if img.shape[1] != res:
-                img = resize_bicubic_align_corners(img, res)
+            if images.shape[1] != res:
+                images = resize_bicubic_align_corners(images, res)
             a_i = _clip.best_attn(reward_cfg_arch, sharded=self.mesh is not None)
+            return _clip.normalize(
+                _clip.encode_image(rparams, reward_cfg_arch, images, attn=a_i).astype(jnp.float32))
+
+        @jax.jit
+        def reward_of(rparams, img_feat, caption_clip_tokens):
+            """CLIPScore(precomputed image feature [E], K captions) -> rewards [K]."""
+            from ..models import clip as _clip
+            from ..core.losses import clipscore, rewards_post_process
+
             a_t = _clip.best_attn(sharded=self.mesh is not None)
-            img_feat = _clip.normalize(
-                _clip.encode_image(rparams, reward_cfg_arch, img, attn=a_i).astype(jnp.float32))
             txt_feats = _clip.normalize(
                 _clip.encode_text(rparams, reward_cfg_arch, caption_clip_tokens, attn=a_t).astype(jnp.float32)
             )
-            sim = jnp.sum(txt_feats * img_feat, axis=-1)  # [K]
+            sim = jnp.sum(txt_feats * img_feat[None], axis=-1)  # [K]
             scores = clipscore(sim, rcfg.clipscore_weight)
             return rewards_post_process(scores.reshape(1, -1), rcfg.reward_process, rcfg.amplify)
 
@@ -396,6 +406,7 @@ class CaptionTTA:
 
         self._generate_k = generate_k
         self._generate_final = generate_final
+        self._reward_image_feat = reward_image_feat
         self._reward_of = reward_of
         self._update_step = update_step
 
@@ -422,21 +433,13 @@ class CaptionTTA:
             return seqs[:, 0]
 
         @jax.jit
-        def reward_of_batch(rparams, images, caption_clip_tokens):
-            """images [N, H, W, 3]; tokens [N, K, 77] -> rewards [N, K]."""
+        def reward_of_batch(rparams, img_feats, caption_clip_tokens):
+            """img_feats [N, E] (precomputed); tokens [N, K, 77] -> rewards [N, K]."""
             from ..models import clip as _clip
             from ..core.losses import clipscore, rewards_post_process
 
-            from ..ops.image_ops import resize_bicubic_align_corners
-
             N, K = caption_clip_tokens.shape[:2]
-            res = reward_cfg_arch.image_resolution
-            if images.shape[1] != res:
-                images = resize_bicubic_align_corners(images, res)
-            a_i = _clip.best_attn(reward_cfg_arch, sharded=self.mesh is not None)
             a_t = _clip.best_attn(sharded=self.mesh is not None)
-            img_feats = _clip.normalize(
-                _clip.encode_image(rparams, reward_cfg_arch, images, attn=a_i).astype(jnp.float32))
             txt = _clip.normalize(
                 _clip.encode_text(rparams, reward_cfg_arch, caption_clip_tokens.reshape(N * K, -1), attn=a_t).astype(jnp.float32)
             ).reshape(N, K, -1)
@@ -475,11 +478,18 @@ class CaptionTTA:
         self._update_step_batch = update_step_batch
 
     def _decode_and_retokenize(self, seqs_np):
-        """OPT ids [K, L] -> texts + (opt tokens+mask padded, clip tokens)."""
+        """OPT ids [K, L] -> texts + (opt tokens+mask padded, clip tokens).
+
+        Tokens pad to the group's longest caption rounded UP to a 32-token
+        bucket (capped at ``token_pad_len``): the CE update's fwd+bwd cost is
+        linear in the padded length, and real captions retokenize far below
+        the 4x worst-case budget. Exactness: per-sample CE masks positions
+        past the longest caption and divides by that longest length (see
+        ``caption_ce``), so any pad >= longest yields the identical loss —
+        bucketing only bounds the set of compiled update-step shapes.
+        """
         texts = self.tok.batch_decode(seqs_np, stop_id=self.ccfg.opt.eos_newline_id)
-        opt_tokens, opt_mask, lengths = self.tok.batch_encode(
-            texts, pad_to=self.token_pad_len, return_lengths=True
-        )
+        opt_tokens, opt_mask, lengths = self.tok.batch_encode(texts, return_lengths=True)
         longest = max(lengths, default=0)
         if longest > self.token_pad_len:
             import warnings
@@ -490,6 +500,14 @@ class CaptionTTA:
                 "(reference pads to longest) — raise token_pad_len",
                 RuntimeWarning,
             )
+        pad_to = min(self.token_pad_len, max(32, -(-opt_tokens.shape[1] // 32) * 32))
+        if opt_tokens.shape[1] < pad_to:
+            fill = ((0, 0), (0, pad_to - opt_tokens.shape[1]))
+            opt_tokens = np.pad(opt_tokens, fill, constant_values=self.tok.pad_id)
+            opt_mask = np.pad(opt_mask, fill, constant_values=0)
+        elif opt_tokens.shape[1] > pad_to:
+            opt_tokens = opt_tokens[:, :pad_to]
+            opt_mask = opt_mask[:, :pad_to]
         clip_tokens = clip_tokenize([t if t else " " for t in texts], truncate=True)
         return texts, opt_tokens, opt_mask, clip_tokens
 
@@ -505,10 +523,11 @@ class CaptionTTA:
         rparams = self.reward.params
         step_rng = jax.random.PRNGKey(self._sample_counter)
         self._sample_counter += 1
+        img_feat = self._reward_image_feat(rparams, image[None])[0]  # hoisted: once per episode
         for step in range(self.tta_steps):
             seqs = self._generate_k(opt_params, mapper, clip_emb, jax.random.fold_in(step_rng, step))  # [1, K, L]
             texts, opt_tokens, opt_mask, clip_tokens = self._decode_and_retokenize(np.asarray(seqs[0]))
-            rewards = self._reward_of(rparams, image, jnp.asarray(clip_tokens))
+            rewards = self._reward_of(rparams, img_feat, jnp.asarray(clip_tokens))
             if trace is not None:
                 trace.append(list(zip(texts, np.asarray(rewards).tolist())))
             attn = np.concatenate([np.ones((opt_tokens.shape[0], P), np.int32), opt_mask], axis=1)
@@ -550,12 +569,13 @@ class CaptionTTA:
         rparams = self.reward.params
         step_rng = jax.random.PRNGKey(self._sample_counter)
         self._sample_counter += 1
+        img_feats = self._reward_image_feat(rparams, images)  # hoisted: once per group
         for step in range(self.tta_steps):
             seqs = self._generate_k_batch(opt_params, mappers, clip_embs, jax.random.fold_in(step_rng, step))
             flat = np.asarray(seqs).reshape(N * self.sample_k, -1)
             texts, opt_tokens, opt_mask, clip_tokens = self._decode_and_retokenize(flat)
             rewards = self._reward_of_batch(
-                rparams, images, jnp.asarray(clip_tokens).reshape(N, self.sample_k, -1)
+                rparams, img_feats, jnp.asarray(clip_tokens).reshape(N, self.sample_k, -1)
             )
             if trace is not None:
                 trace.append(list(zip(texts, np.asarray(rewards).reshape(-1).tolist())))

@@ -332,3 +332,62 @@ def test_caption_tta_momentum_updates_anchor(tiny_caption, tiny_gpt2_tok):
     caps = tta2.adapt_batch(imgs, embs)
     assert len(caps) == 2
     assert tta2.momentum_state.counter == 0  # 2 folds -> re-anchor fired
+
+
+def test_decode_retokenize_pads_to_32_bucket(tiny_caption, tiny_gpt2_tok):
+    """_decode_and_retokenize pads to the 32-token bucket above the group's
+    longest caption (capped at token_pad_len), not to the full worst-case
+    budget — the CE update's cost is linear in the padded length."""
+    params, ccfg = tiny_caption
+    rcfg = C.ClipConfig("tiny-reward", 16, 32, 1, 32, 16, 32, 1, vision_heads_override=2, text_heads_override=2)
+    reward = ClipReward(C.init_clip_params(jax.random.PRNGKey(1), rcfg), rcfg, RewardConfig(sample_k=3))
+    tta = Cap.CaptionTTA(
+        params, ccfg, reward, tiny_gpt2_tok, tta_steps=1, lr=1e-3, sample_k=3, max_new_tokens=6,
+        token_pad_len=96,
+    )
+    tok = tiny_gpt2_tok
+    # short captions -> the first (32) bucket despite token_pad_len=96
+    seqs = np.full((3, 8), tok.pad_id, np.int32)
+    for i, t in enumerate(["the cat", "a hat", "the"]):
+        ids = tok.encode(t)
+        seqs[i, : len(ids)] = ids
+    texts, opt_tokens, opt_mask, clip_tokens = tta._decode_and_retokenize(seqs)
+    longest = int(opt_mask.sum(axis=-1).max())
+    assert opt_tokens.shape[1] == 32 and opt_tokens.shape[1] >= longest
+    assert opt_mask.shape == opt_tokens.shape
+    assert clip_tokens.shape[1] == 77  # CLIP side stays at its own budget
+    # pad fill past each caption is pad_id with mask 0
+    assert (np.asarray(opt_tokens)[0][np.asarray(opt_mask)[0] == 0] == tok.pad_id).all()
+    # cap: a tiny explicit budget still wins over the bucket
+    tta_small = Cap.CaptionTTA(
+        params, ccfg, reward, tiny_gpt2_tok, tta_steps=1, lr=1e-3, sample_k=3, max_new_tokens=6,
+        token_pad_len=10,
+    )
+    _, toks_small, mask_small, _ = tta_small._decode_and_retokenize(seqs)
+    assert toks_small.shape[1] == 10 and mask_small.shape[1] == 10
+
+
+def test_caption_ce_invariant_to_pad_past_longest(tiny_caption):
+    """Any pad length >= the group's longest caption yields the identical
+    per-sample CE (the masked-mean divides by the batch-longest length and
+    drops positions past it) — the invariant that makes 32-token bucketing in
+    _decode_and_retokenize exact rather than approximate."""
+    params, ccfg = tiny_caption
+    P = ccfg.prefix_length
+    rng = np.random.default_rng(7)
+    K, V, PAD = 3, ccfg.opt.vocab_size, 1
+    lengths = [3, 6, 4]  # longest = 6
+    L1, L2 = 8, 20  # two pad budgets, both >= longest
+
+    tokens2 = np.full((K, L2), PAD, np.int32)
+    for i, l in enumerate(lengths):
+        tokens2[i, :l] = rng.integers(3, V, size=(l,))
+    tokens1 = tokens2[:, :L1]
+    mask2 = (np.arange(L2)[None, :] < np.asarray(lengths)[:, None]).astype(np.int32)
+    mask1 = mask2[:, :L1]
+    logits2 = rng.normal(size=(K, P + L2, V)).astype(np.float32)
+    logits1 = logits2[:, : P + L1]
+
+    ce1 = Cap.caption_ce(jnp.asarray(logits1), jnp.asarray(tokens1), P, per_sample=True, valid_mask=jnp.asarray(mask1))
+    ce2 = Cap.caption_ce(jnp.asarray(logits2), jnp.asarray(tokens2), P, per_sample=True, valid_mask=jnp.asarray(mask2))
+    np.testing.assert_allclose(np.asarray(ce1), np.asarray(ce2), rtol=1e-6)
