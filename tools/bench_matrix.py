@@ -269,10 +269,13 @@ def bench_caption_tta(quick=False):
     # + final beam-5 decode
     L = P + max_new
     fwd_ce = transformer_decode_flops(ocfg.n_layers, ocfg.hidden, L, L // 2)  # full-seq fwd ~ decode sum
+    # reward image encode is hoisted out of the step loop (once per image);
+    # only the text tower runs every step on the fresh captions
     fl = (
         steps * (sample_k * dec + 3 * sample_k * fwd_ce)
         + 5 * dec
-        + steps * (vit_tower_flops(rcfg_arch, 1, 224) + text_tower_flops(rcfg_arch, sample_k * 77))
+        + vit_tower_flops(rcfg_arch, 1, 224)
+        + steps * text_tower_flops(rcfg_arch, sample_k * 77)
     )
     return {
         "pipeline": "caption_tta",
@@ -319,6 +322,20 @@ def main(argv=None):
         print(json.dumps(rec), flush=True)
 
     out = {"records": records, "quick": args.quick}
+    if args.only and os.path.exists(args.out):
+        # partial refresh: replace matching pipelines in the existing matrix
+        # (same --quick mode only) instead of clobbering the other records
+        try:
+            with open(args.out) as fh:
+                prev = json.load(fh)
+        except (OSError, ValueError):
+            prev = None
+        if prev and prev.get("quick", False) == args.quick:
+            fresh = {r["pipeline"]: r for r in records}
+            merged = [fresh.pop(r.get("pipeline"), r) for r in prev.get("records", [])]
+            out["records"] = merged + list(fresh.values())
+            for k, v in prev.items():  # keep any extra fields (e.g. "note")
+                out.setdefault(k, v)
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=2)
     print(f"# wrote {args.out}", file=sys.stderr)
