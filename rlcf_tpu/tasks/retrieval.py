@@ -277,7 +277,7 @@ class RetrievalTTA:
             )
         return np.asarray(logits[:, 0])
 
-    def run(self, queries_iter, total: int, gallery_size: int, group_size: int = 4) -> np.ndarray:
+    def run(self, queries_iter, total: int, gallery_size: int, group_size: int = 8) -> np.ndarray:
         """Fill the full score matrix (init -100, `clip_ret_policy.py:146-147`)."""
         scores = np.full((total, gallery_size), -100.0, dtype=np.float32)
         row = 0

@@ -165,7 +165,7 @@ def bench_retrieval(direction, quick=False):
     from rlcf_tpu.utils.flops import vit_tower_flops, text_tower_flops, V5E_BF16_PEAK
 
     steps = 2 if quick else 8
-    group = 4
+    group = 4 if quick else 8  # RetrievalTTA.run default group_size
     n_gal = 16 if quick else 64
     sample_k = 20 if direction == "i2t" else 12  # `tta_coco_ret.sh`
     pcfg, rcfg = C.get_config("ViT-B/16"), C.get_config("ViT-L/14")
