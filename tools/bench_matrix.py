@@ -308,6 +308,9 @@ def main(argv=None):
     }
     if args.only:
         keep = set(args.only.split(","))
+        unknown = keep - benches.keys()
+        if unknown:
+            ap.error(f"--only: unknown pipeline(s) {sorted(unknown)}; choose from {sorted(benches)}")
         benches = {k: v for k, v in benches.items() if k in keep}
 
     records = []
