@@ -462,7 +462,6 @@ def fused_views_sharded(images_planar, rngs, mesh, **kwargs):
     ``images_planar`` [N, 3, S, S] with N divisible by dp; kwargs as
     :func:`fused_views`.
     """
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     dp = mesh.shape["dp"]
@@ -474,6 +473,12 @@ def fused_views_sharded(images_planar, rngs, mesh, **kwargs):
     fn = functools.partial(fused_views, **kwargs)
     spec_in = (P("dp"), P("dp"))
     spec_out = (P("dp"),) * n_out if n_out > 1 else P("dp")
-    shmapped = shard_map(fn, mesh=mesh, in_specs=spec_in, out_specs=spec_out,
-                         check_rep=False)
+    if hasattr(jax, "shard_map"):  # jax >= 0.8
+        shmapped = jax.shard_map(fn, mesh=mesh, in_specs=spec_in,
+                                 out_specs=spec_out, check_vma=False)
+    else:
+        from jax.experimental.shard_map import shard_map
+
+        shmapped = shard_map(fn, mesh=mesh, in_specs=spec_in,
+                             out_specs=spec_out, check_rep=False)
     return shmapped(images_planar, rngs)
