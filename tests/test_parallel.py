@@ -228,6 +228,36 @@ def test_prompt_classifier_on_mesh_matches_unsharded():
     np.testing.assert_allclose(np.asarray(lg_tok_mesh), np.asarray(lg_tok_base), rtol=2e-4, atol=2e-4)
 
 
+def test_prompt_classifier_class_arrays_are_tp_sharded():
+    """VERDICT r3 item 2: the class-axis arrays the dryrun gate checks must
+    actually carry a tp sharding when the classifier is built on a tp mesh."""
+    from rlcf_tpu.core.episode import EpisodeConfig
+    from rlcf_tpu.core.reward import ClipReward, RewardConfig
+    from rlcf_tpu.models import clip as C
+    from rlcf_tpu.parallel.mesh import make_mesh
+    from rlcf_tpu.tasks.classification import PromptTTAClassifier
+
+    cfg = C.ClipConfig("tp-assert", 16, 32, 1, 32, 16, 32, 1, vision_heads_override=2, text_heads_override=2)
+    params = C.init_clip_params(jax.random.PRNGKey(0), cfg)
+    reward = ClipReward(C.init_clip_params(jax.random.PRNGKey(1), cfg), cfg, RewardConfig(sample_k=2))
+    ecfg = EpisodeConfig(tta_steps=1, selection_p=0.5, sample_k=2)
+    mesh = make_mesh(tp=2)
+    clf = PromptTTAClassifier(params, cfg, reward, ecfg, mesh=mesh).setup(
+        ["cat", "dog", "bird", "car", "tree", "boat", "fish", "lamp"]
+    )
+
+    def axes(arr):
+        got = set()
+        for entry in getattr(arr.sharding, "spec", None) or ():
+            if entry is not None:
+                got.update(entry if isinstance(entry, tuple) else (entry,))
+        return got
+
+    assert "tp" in axes(clf._tf0), clf._tf0.sharding
+    assert "tp" in axes(clf._pt_args["fixed_embed"]), clf._pt_args["fixed_embed"].sharding
+    assert "tp" in axes(clf._reward_feats_arg), clf._reward_feats_arg.sharding
+
+
 def test_maybe_initialize_distributed_single_host_noop(monkeypatch):
     """Single-host environments (incl. axon's TPU_WORKER_HOSTNAMES=localhost)
     must not attempt a coordinator handshake."""
