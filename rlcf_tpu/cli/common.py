@@ -26,6 +26,12 @@ def add_model_args(p: argparse.ArgumentParser):
         "fine-tuned checkpoints skip the check automatically (unknown digest "
         "is only an error when the file claims to be a stock arch). 0 = off",
     )
+    p.add_argument(
+        "--download", type=int, default=0,
+        help="auto-download missing stock OpenAI checkpoints (policy + reward) "
+        "to $RLCF_CHECKPOINT_DIR (default ~/.cache/rlcf_tpu/clip), SHA256-"
+        "verified (`TPT/clip/clip.py:42-70`); refuses loudly without egress",
+    )
 
 
 def add_reward_args(p: argparse.ArgumentParser):
@@ -82,6 +88,10 @@ def load_policy(args):
     from ..models.convert import load_clip_checkpoint
 
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    if not args.clip_checkpoint and getattr(args, "download", 0):
+        from ..models.convert import download_checkpoint
+
+        args.clip_checkpoint = download_checkpoint(args.arch)
     if args.clip_checkpoint and os.path.exists(args.clip_checkpoint):
         from ..models.convert import CLIP_CHECKPOINT_SHA256, check_checkpoint_digest
 
@@ -129,11 +139,19 @@ def build_reward(args):
     if args.multiple_reward_models:
         archs = ["ViT-L/14@336px", "RN50x64", "ViT-L/14"]
         ckpts = args.reward_checkpoints or [None] * len(archs)
+        if getattr(args, "download", 0):
+            from ..models.convert import download_checkpoint
+
+            ckpts = [c or download_checkpoint(a) for a, c in zip(archs, ckpts)]
         members = [
             build_reward_model(a, rcfg, checkpoint=c, rng_seed=i + 1, dtype=dtype)
             for i, (a, c) in enumerate(zip(archs, ckpts))
         ]
         return ClipRewardEnsemble(members, rcfg, weighted=bool(args.weighted_scores))
+    if not args.reward_checkpoint and getattr(args, "download", 0):
+        from ..models.convert import download_checkpoint
+
+        args.reward_checkpoint = download_checkpoint(args.reward_arch)
     if not args.reward_checkpoint:
         print(
             f"WARNING: no --reward_checkpoint; initializing {args.reward_arch} randomly",

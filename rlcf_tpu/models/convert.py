@@ -259,3 +259,81 @@ def load_clip_checkpoint(path: str, dtype=np.float32, verify_arch: Optional[str]
     if verify_arch is not None and not verify_checkpoint_sha256(path, verify_arch):
         raise RuntimeError(f"{path} does not match the published SHA256 for {verify_arch}")
     return convert_clip_state_dict(load_torch_file(path), dtype=dtype)
+
+
+# OpenAI's public checkpoint host; URLs embed the SHA256 so the digest table
+# above is also the URL table (`TPT/clip/clip.py:29-40`).
+_CLIP_URL_HOST = "https://openaipublic.azureedge.net/clip/models"
+
+
+def clip_checkpoint_url(arch: str) -> str:
+    """Download URL for a released OpenAI CLIP arch (digest-addressed)."""
+    if arch not in CLIP_CHECKPOINT_SHA256:
+        raise ValueError(f"no released OpenAI checkpoint for {arch!r}; "
+                         f"known: {sorted(CLIP_CHECKPOINT_SHA256)}")
+    fname = arch.replace("/", "-").replace("@", "-") + ".pt"
+    return f"{_CLIP_URL_HOST}/{CLIP_CHECKPOINT_SHA256[arch]}/{fname}"
+
+
+def default_download_root() -> str:
+    return os.environ.get(
+        "RLCF_CHECKPOINT_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "rlcf_tpu", "clip"),
+    )
+
+
+def download_checkpoint(arch: str, root: Optional[str] = None, timeout: float = 30.0) -> str:
+    """Fetch + SHA256-verify a released OpenAI CLIP checkpoint.
+
+    Parity with the reference's ``_download`` (`TPT/clip/clip.py:42-70`): an
+    existing file with the right digest is reused; a wrong digest triggers a
+    re-download; the fresh download is verified before being trusted.
+    Egress-gated — environments without network get a clear error naming the
+    file to fetch manually (RUNBOOK step 2) instead of a hung socket.
+    """
+    import urllib.error
+    import urllib.request
+
+    root = root or default_download_root()
+    os.makedirs(root, exist_ok=True)
+    url = clip_checkpoint_url(arch)
+    target = os.path.join(root, os.path.basename(url))
+    expected = CLIP_CHECKPOINT_SHA256[arch]
+
+    if os.path.exists(target) and not os.path.isfile(target):
+        raise RuntimeError(f"{target} exists and is not a regular file")
+    if os.path.isfile(target):
+        if _sha256_file(target) == expected:
+            return target
+        import warnings
+
+        warnings.warn(f"{target} exists but its SHA256 does not match; re-downloading")
+
+    tmp = target + ".part"
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as src, open(tmp, "wb") as out:
+            while True:
+                buf = src.read(1 << 20)
+                if not buf:
+                    break
+                out.write(buf)
+    except (urllib.error.URLError, OSError, TimeoutError) as e:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise RuntimeError(
+            f"cannot download {arch} checkpoint (no network egress?): {e}\n"
+            f"Fetch {url} manually and pass it via --clip_checkpoint / "
+            f"--reward_checkpoint, or place it at {target}"
+        ) from e
+    if _sha256_file(tmp) != expected:
+        os.unlink(tmp)
+        raise RuntimeError(f"downloaded {arch} checkpoint failed SHA256 verification")
+    os.replace(tmp, target)
+    try:  # drop the .part digest sidecar; memoize under the final name
+        os.unlink(tmp + ".sha256")
+    except OSError:
+        pass
+    _sha256_file(target)
+    return target
