@@ -31,7 +31,82 @@ def get_args(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument(
+        "--shard_size", type=int, default=0,
+        help="captions per output shard; >0 streams shards with bounded "
+        "memory (COCO-scale, ~600k captions — TPU-native equivalent of the "
+        "reference's lmdb extractor, `caption/tools/extractor_lmdb.py:20-90`). "
+        "0 = single npz (small sets)",
+    )
     return p.parse_args(argv)
+
+
+def _extract_sharded(args, params, cfg, ann, captions, image_for_caption):
+    """Bounded-memory streaming extraction: encode chunk -> flush shard.
+
+    Matches `caption/tools/extractor_lmdb.py:46-90` (batch encode + periodic
+    commit); output is npz shards + manifest (see data/sharded_embeddings).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.sharded_embeddings import ShardWriter
+    from ..data.transforms import preprocess_pil
+    from ..models import clip as clip_model
+    from ..tokenizer import tokenize as clip_tokenize
+    from ..tokenizer_gpt2 import load_gpt2_tokenizer
+
+    tok = load_gpt2_tokenizer(args.opt_vocab, args.opt_merges)
+    encode_t = jax.jit(functools.partial(clip_model.encode_text, cfg=cfg))
+    encode_i = jax.jit(functools.partial(clip_model.encode_image, cfg=cfg))
+    img_cache: dict = {}
+
+    def image_embed(paths):
+        missing = [p for p in dict.fromkeys(paths) if p not in img_cache]
+        for s in range(0, len(missing), 32):
+            batch = missing[s : s + 32]
+            imgs = np.stack(
+                [preprocess_pil(os.path.join(args.images_root, p), args.resolution) for p in batch]
+            )
+            feats = np.asarray(encode_i(params, images=jnp.asarray(imgs)))
+            for p, f in zip(batch, feats):
+                img_cache[p] = f
+        out = np.stack([img_cache[p] for p in paths])
+        img_cache.clear()  # images don't repeat across chunks (annotation order)
+        return out
+
+    base = args.out[:-4] if args.out.endswith(".npz") else args.out
+    with ShardWriter(base, shard_size=args.shard_size) as w:
+        enc_bs = 256
+        for s in range(0, len(captions), args.shard_size):
+            caps = captions[s : s + args.shard_size]
+            imgs = image_for_caption[s : s + args.shard_size]
+            ctoks = clip_tokenize(caps, truncate=True)
+            text_emb = np.concatenate(
+                [
+                    np.asarray(encode_t(params, tokens=jnp.asarray(ctoks[i : i + enc_bs])))
+                    for i in range(0, len(caps), enc_bs)
+                ],
+                axis=0,
+            )
+            tokens, tmask = tok.batch_encode(caps, pad_to=args.token_len)
+            mask = np.concatenate(
+                [np.ones((tokens.shape[0], args.prefix_length), np.int32), tmask], axis=1
+            )
+            chunk = {
+                "text_embeddings": text_emb,
+                "tokens": tokens,
+                "mask": mask,
+                "captions": np.array(caps, dtype=object),
+                "images": np.array(imgs, dtype=object),
+            }
+            if args.images_root:
+                chunk["image_embeddings"] = image_embed(imgs)
+            w.append(chunk)
+            print(f"extracted {min(s + args.shard_size, len(captions))}/{len(captions)} captions")
+    print(f"wrote {base}.manifest.json: {len(captions)} captions in shards of {args.shard_size}")
 
 
 def main(argv=None):
@@ -51,6 +126,9 @@ def main(argv=None):
         for c in caps:
             captions.append(c)
             image_for_caption.append(a["image"])
+
+    if args.shard_size > 0:
+        return _extract_sharded(args, params, cfg, ann, captions, image_for_caption)
 
     feats = extract_clip_features(params, cfg, texts=captions)
 

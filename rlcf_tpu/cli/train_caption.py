@@ -63,11 +63,21 @@ def main(argv=None):
         mask = np.ones((n, mcfg.prefix_length + 8), np.int32)
     else:
         ocfg = O.OPT_CONFIGS[args.llm]
-        data = np.load(args.embeddings)
-        prefix = data["text_embeddings"] if args.cap_model == "CapDec" else data["image_embeddings"]
-        tokens = data["tokens"].astype(np.int32)
-        mask = data["mask"].astype(np.int32)
-        clip_dim = prefix.shape[1]
+        from ..data.sharded_embeddings import ShardedEmbeddings, is_sharded
+
+        emb_key = "text_embeddings" if args.cap_model == "CapDec" else "image_embeddings"
+        if is_sharded(args.embeddings):
+            # COCO-scale sharded store: one shard resident at a time
+            sharded = ShardedEmbeddings(args.embeddings)
+            clip_dim = sharded.load_shard(0)[emb_key].shape[1]
+            prefix = tokens = mask = None
+        else:
+            sharded = None
+            data = np.load(args.embeddings)
+            prefix = data[emb_key]
+            tokens = data["tokens"].astype(np.int32)
+            mask = data["mask"].astype(np.int32)
+            clip_dim = prefix.shape[1]
         mcfg = M.MapperConfig(args.mapping_type, clip_dim=clip_dim, llm_dim=ocfg.embed_dim,
                               prefix_length=args.prefix_length, clip_length=args.clip_length)
 
@@ -82,7 +92,8 @@ def main(argv=None):
         params["mapper"], start_epoch = Cap.load_mapper_checkpoint(args.resume, params["mapper"])
         start_epoch += 1
 
-    n = prefix.shape[0]
+    use_sharded = not args.synthetic and sharded is not None
+    n = len(sharded) if use_sharded else prefix.shape[0]
     steps_per_epoch = max(n // args.train_batch_size, 1)
     tcfg = Cap.TrainConfig(
         lr=args.train_lr, warmup_steps=args.warmup_steps,
@@ -91,11 +102,22 @@ def main(argv=None):
         noise_variance=args.noise_variance, normalize_prefix=bool(args.normalize_prefix),
     )
 
-    def data_iter():
-        order = np.random.default_rng(args.seed).permutation(n)
-        for s in range(0, n - args.train_batch_size + 1, args.train_batch_size):
-            idx = order[s : s + args.train_batch_size]
-            yield prefix[idx], tokens[idx], mask[idx]
+    if use_sharded:
+        shuffle_rng = np.random.default_rng(args.seed)
+
+        def data_iter():
+            for emb, toks, msk in sharded.batches(
+                args.train_batch_size, (emb_key, "tokens", "mask"), rng=shuffle_rng
+            ):
+                yield emb, toks.astype(np.int32), msk.astype(np.int32)
+
+    else:
+
+        def data_iter():
+            order = np.random.default_rng(args.seed).permutation(n)
+            for s in range(0, n - args.train_batch_size + 1, args.train_batch_size):
+                idx = order[s : s + args.train_batch_size]
+                yield prefix[idx], tokens[idx], mask[idx]
 
     params, losses = Cap.train_caption_model(
         params, ccfg, tcfg, data_iter, rng=jax.random.PRNGKey(args.seed),
