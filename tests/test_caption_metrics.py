@@ -136,3 +136,45 @@ def test_backend_field_records_what_ran():
     expected = "pycocoevalcap" if cm_mod.pycocoevalcap_available() else "pure-python"
     # a present-but-broken pycocoevalcap install may legitimately fall back
     assert out["caption_metrics_backend"] in (expected, "pure-python")
+
+
+def test_metric_backend_ab_fixture_pins_own_impl():
+    """VERDICT r3 item 7: the committed A/B fixture (tools/metric_backend_ab.py)
+    pins the own-impl scores on the golden caption set exactly; when
+    pycocoevalcap is importable the recorded deltas must sit within bounds."""
+    import json
+    import os
+    import sys
+
+    from rlcf_tpu.metrics import caption_metrics as cm_mod
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "metric_backend_ab.json")
+    with open(fixture) as fh:
+        rec = json.load(fh)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    try:
+        from metric_backend_ab import BOUNDS, GOLDEN
+    finally:
+        sys.path.pop(0)
+
+    refs = [r for _, r in GOLDEN]
+    cands = [c for c, _ in GOLDEN]
+    own = rec["own"]
+    np.testing.assert_allclose(cm_mod.bleu(refs, cands), own["bleu"], atol=1e-12)
+    np.testing.assert_allclose(cm_mod.rouge_l(refs, cands), own["rouge"], atol=1e-12)
+    np.testing.assert_allclose(cm_mod.cider_d(refs, cands), own["cider"], atol=1e-12)
+    if cm_mod.meteor_mode() == own["meteor_mode"]:
+        np.testing.assert_allclose(cm_mod.meteor(refs, cands), own["meteor"], atol=1e-9)
+
+    if rec.get("delta"):
+        for i, d in enumerate(rec["delta"]["bleu"]):
+            assert d <= BOUNDS["bleu"], ("bleu", i, d)
+        assert rec["delta"]["rouge"] <= BOUNDS["rouge"]
+        assert rec["delta"]["cider"] <= BOUNDS["cider"]
+        assert rec["delta"]["meteor"] <= BOUNDS["meteor"]
+    elif cm_mod.pycocoevalcap_available():
+        import pytest as _pytest
+
+        _pytest.fail("pycocoevalcap importable but fixture has no deltas — "
+                     "re-run tools/metric_backend_ab.py")
