@@ -38,11 +38,31 @@ def maybe_initialize_distributed() -> bool:
     multi_host_env = (
         bool(os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
         or bool(os.environ.get("JAX_COORDINATOR_ADDRESS"))
+        or bool(os.environ.get("WORLD_SIZE"))  # torchrun-style launchers
         or len(workers) > 1  # single-host axon sets TPU_WORKER_HOSTNAMES=localhost
     )
     if not multi_host_env:
         return False
-    jax.distributed.initialize()
+    # Explicit process topology, when the launcher provides one: JAX-style
+    # (JAX_NUM_PROCESSES/JAX_PROCESS_ID) or the torch-style RANK/WORLD_SIZE/
+    # MASTER_ADDR the reference's bootstrap consumes (`dist_utils.py:57-76`).
+    # Cloud TPU pods need neither — initialize() autodetects peers.
+    kwargs = {}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs = dict(
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )
+    elif os.environ.get("WORLD_SIZE"):
+        kwargs = dict(
+            coordinator_address=(
+                os.environ.get("MASTER_ADDR", "127.0.0.1")
+                + ":" + os.environ.get("MASTER_PORT", "29500")
+            ),
+            num_processes=int(os.environ["WORLD_SIZE"]),
+            process_id=int(os.environ.get("RANK", "0")),
+        )
+    jax.distributed.initialize(**kwargs)
     return True
 
 
