@@ -219,16 +219,17 @@ def forward(params, cfg: OPTConfig, tokens=None, prefix_embeds=None, attention_m
 # ---------------------------------------------------------------------------
 
 
-def _prefill(params, cfg: OPTConfig, prefix_embeds, max_len: int):
-    """Run the prefix through the decoder, building a padded KV cache.
+def _prefill(params, cfg: OPTConfig, prefix_embeds):
+    """Run the prefix through the decoder, building the prefix KV cache.
 
-    Returns (logits_last [B, V], cache, cache_len). Cache arrays are
-    [L, B, H, max_len, hd], prefix written at positions [0, P).
+    Returns (logits_last [B, V], prefix_cache). Cache arrays are
+    [L, B, H, P, hd] and IMMUTABLE afterwards: all beams/samples expanded
+    from a prefix share it by reference — the decode step never copies,
+    reorders, or pads it (beam reorder permutes beams of one image, and the
+    per-image prefix K/V are identical across beams, so permuting them is a
+    numeric no-op; skipping it cuts the dominant cache-reorder traffic).
     """
     B, P = prefix_embeds.shape[:2]
-    D = cfg.hidden
-    H = cfg.n_heads
-    hd = D // H
     mask = jnp.ones((B, P), jnp.int32)
     pos = _positions_from_mask(mask, cfg.pos_offset)
     x = _embed_in(params, prefix_embeds) + params["embed_positions"][pos]
@@ -239,57 +240,76 @@ def _prefill(params, cfg: OPTConfig, prefix_embeds, max_len: int):
         return h, kv
 
     x, (k_stack, v_stack) = jax.lax.scan(body, x, params["blocks"])
-    # k_stack: [L, B, H, P, hd] -> pad to max_len
-    pad = [(0, 0), (0, 0), (0, 0), (0, max_len - P), (0, 0)]
-    cache = (jnp.pad(k_stack, pad), jnp.pad(v_stack, pad))
     logits_last = _head(params, cfg, x[:, -1:])[:, 0]
-    return logits_last, cache, P
+    return logits_last, (k_stack, v_stack)
 
 
-def _decode_step(params, cfg: OPTConfig, token, cache, t):
-    """One cached decode step. token [B], t = absolute position index.
+def _init_gen_cache(cfg: OPTConfig, n_seqs: int, max_new: int, dtype):
+    """Per-sequence cache for generated positions: [L, N, H, max_new, hd]."""
+    hd = cfg.hidden // cfg.n_heads
+    shape = (cfg.n_layers, n_seqs, cfg.n_heads, max_new, hd)
+    return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
-    Returns (logits [B, V], new cache).
+
+def _decode_step(params, cfg: OPTConfig, token, prefix_cache, gen_cache, t, expand: int):
+    """One cached decode step with a shared prefix cache.
+
+    token: [N] next tokens (N = B * expand sequences); prefix_cache holds
+    [L, B, H, P, hd] (one entry per prefix, shared by ``expand`` sequences —
+    attention reads it via a batched einsum, never materializing the
+    expansion); gen_cache holds [L, N, H, G, hd] generated positions, written
+    at slot ``t`` (absolute position P + t). Returns (logits [N, V],
+    new gen_cache); the prefix cache is read-only.
     """
-    k_cache, v_cache = cache
-    L, B, H, M, hd = k_cache.shape
-    x = _embed_in(params, params["embed_tokens"][token][:, None, :])  # [B, 1, D]
-    x = x + params["embed_positions"][t + cfg.pos_offset][None, None, :]
-    # bias over cache positions: attend to [0, t]
-    valid = (jnp.arange(M) <= t)[None, None, None, :]
-    mask_bias = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
+    k_pre, v_pre = prefix_cache
+    k_gen, v_gen = gen_cache
+    L, B, H, P, hd = k_pre.shape
+    G = k_gen.shape[3]
+    N = token.shape[0]
+    E = expand
+    D = cfg.hidden
+    x = _embed_in(params, params["embed_tokens"][token][:, None, :])  # [N, 1, D]
+    x = x + params["embed_positions"][P + t + cfg.pos_offset][None, None, :]
+    # generated-position mask: attend to gen slots [0, t] (prefix always valid)
+    gen_bias = jnp.where((jnp.arange(G) <= t)[None, None, :], 0.0, -1e9).astype(jnp.float32)
 
     def body(carry, inp):
         h = carry
-        layer_params, k_l, v_l = inp
-        # write new kv at position t, then attend over full cache row
+        layer_params, k_p, v_p, k_g, v_g = inp
         h_ln = _ln(h, layer_params["ln1_w"], layer_params["ln1_b"]) if cfg.do_layer_norm_before else h
-        Bq, T1, D = h_ln.shape
         q = (h_ln @ layer_params["q_w"] + layer_params["q_b"]) * (hd**-0.5)
         k_new = h_ln @ layer_params["k_w"] + layer_params["k_b"]
         v_new = h_ln @ layer_params["v_w"] + layer_params["v_b"]
-        q = q.reshape(Bq, 1, H, hd).transpose(0, 2, 1, 3)
-        k_new = k_new.reshape(Bq, 1, H, hd).transpose(0, 2, 1, 3)
-        v_new = v_new.reshape(Bq, 1, H, hd).transpose(0, 2, 1, 3)
-        k_l = jax.lax.dynamic_update_slice(k_l, k_new.astype(k_l.dtype), (0, 0, t, 0))
-        v_l = jax.lax.dynamic_update_slice(v_l, v_new.astype(v_l.dtype), (0, 0, t, 0))
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k_l, preferred_element_type=jnp.float32) + mask_bias
-        probs = jax.nn.softmax(logits, axis=-1).astype(h.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v_l, preferred_element_type=jnp.float32).astype(h.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(Bq, 1, D)
+        q = q.reshape(N, H, hd)
+        k_new = k_new.reshape(N, 1, H, hd).transpose(0, 2, 1, 3)
+        v_new = v_new.reshape(N, 1, H, hd).transpose(0, 2, 1, 3)
+        k_g = jax.lax.dynamic_update_slice(k_g, k_new.astype(k_g.dtype), (0, 0, t, 0))
+        v_g = jax.lax.dynamic_update_slice(v_g, v_new.astype(v_g.dtype), (0, 0, t, 0))
+        # prefix attention: beams of one image share k_p/v_p — batched einsum
+        # over the [B, E] split reads the prefix once per image, not per beam
+        qe = q.reshape(B, E, H, hd)
+        lg_pre = jnp.einsum("behd,bhpd->behp", qe, k_p, preferred_element_type=jnp.float32)
+        lg_gen = jnp.einsum("nhd,nhgd->nhg", q, k_g, preferred_element_type=jnp.float32)
+        lg = jnp.concatenate([lg_pre.reshape(N, H, P), lg_gen + gen_bias], axis=-1)
+        probs = jax.nn.softmax(lg, axis=-1).astype(h.dtype)
+        out_pre = jnp.einsum("behp,bhpd->behd", probs[:, :, :P].reshape(B, E, H, P), v_p,
+                             preferred_element_type=jnp.float32)
+        out_gen = jnp.einsum("nhg,nhgd->nhd", probs[:, :, P:], v_g,
+                             preferred_element_type=jnp.float32)
+        out = (out_pre.reshape(N, H, hd) + out_gen).astype(h.dtype).reshape(N, 1, D)
         out = out @ layer_params["out_w"] + layer_params["out_b"]
         if cfg.do_layer_norm_before:
             h = h + out
             h2 = _ln(h, layer_params["ln2_w"], layer_params["ln2_b"])
             h2 = jax.nn.relu(h2 @ layer_params["fc1_w"] + layer_params["fc1_b"]) @ layer_params["fc2_w"] + layer_params["fc2_b"]
-            return h + h2, (k_l, v_l)
+            return h + h2, (k_g, v_g)
         h = _ln(h + out, layer_params["ln1_w"], layer_params["ln1_b"])
         h2 = jax.nn.relu(h @ layer_params["fc1_w"] + layer_params["fc1_b"]) @ layer_params["fc2_w"] + layer_params["fc2_b"]
-        return _ln(h + h2, layer_params["ln2_w"], layer_params["ln2_b"]), (k_l, v_l)
+        return _ln(h + h2, layer_params["ln2_w"], layer_params["ln2_b"]), (k_g, v_g)
 
-    x, (k_cache, v_cache) = jax.lax.scan(body, x, (params["blocks"], k_cache, v_cache))
+    x, (k_gen, v_gen) = jax.lax.scan(body, x, (params["blocks"], k_pre, v_pre, k_gen, v_gen))
     logits = _head(params, cfg, x)[:, 0]
-    return logits, (k_cache, v_cache)
+    return logits, (k_gen, v_gen)
 
 
 def beam_generate(
@@ -313,13 +333,14 @@ def beam_generate(
     eos = cfg.eos_newline_id if eos_id is None else eos_id
     num_return = num_return or num_beams
     B, P, D = prefix_embeds.shape
-    max_len = P + max_new_tokens + 1
     NEG = -1e9
 
-    # Expand prefix per beam -> batch B*K
+    # Prefill runs on the B prefixes ONCE; all K beams of an image share the
+    # resulting prefix K/V by reference (see _prefill). Only the generated
+    # positions get a per-beam cache — the only state beam reorder touches.
     K = num_beams
-    pe = jnp.repeat(prefix_embeds, K, axis=0)  # [B*K, P, D]
-    logits0, cache, t0 = _prefill(params, cfg, pe, max_len)
+    logits0, prefix_cache = _prefill(params, cfg, prefix_embeds)  # [B, V]
+    gen_cache = _init_gen_cache(cfg, B * K, max_new_tokens, prefix_cache[0].dtype)
 
     # beam state
     seqs = jnp.full((B, K, max_new_tokens), cfg.pad_token_id, jnp.int32)
@@ -327,7 +348,7 @@ def beam_generate(
     finished = jnp.zeros((B, K), bool)
 
     def step(carry):
-        step_idx, seqs, beam_scores, finished, cache, logits = carry
+        step_idx, seqs, beam_scores, finished, gen_cache, logits = carry
         logp = jax.nn.log_softmax(logits.reshape(B, K, -1), axis=-1)  # [B, K, V]
         V = logp.shape[-1]
         # min-length: no EOS before min_length
@@ -344,17 +365,18 @@ def beam_generate(
         was_finished = jnp.take_along_axis(finished, src_beam, axis=1)
         seqs = seqs.at[:, :, step_idx].set(jnp.where(was_finished, cfg.pad_token_id, token))
         now_finished = was_finished | (token == eos)
-        # cache reorder: [L, B*K, H, M, hd] — gather along beam axis
+        # gen-cache reorder: [L, B*K, H, G, hd] — gather beams within each
+        # image; the shared prefix cache never moves
         def reorder(c):
             cL = c.reshape(c.shape[0], B, K, *c.shape[2:])
             cL = jnp.take_along_axis(cL, src_beam[None, :, :, None, None, None], axis=2)
             return cL.reshape(c.shape)
 
-        cache = (reorder(cache[0]), reorder(cache[1]))
+        gen_cache = (reorder(gen_cache[0]), reorder(gen_cache[1]))
         # next logits
         tok_flat = jnp.where(was_finished, cfg.pad_token_id, token).reshape(B * K)
-        logits, cache = _decode_step(params, cfg, tok_flat, cache, t0 + step_idx)
-        return (step_idx + 1, seqs, top_scores, now_finished, cache, logits)
+        logits, gen_cache = _decode_step(params, cfg, tok_flat, prefix_cache, gen_cache, step_idx, K)
+        return (step_idx + 1, seqs, top_scores, now_finished, gen_cache, logits)
 
     # while_loop with early exit: once every beam of every batch item has
     # emitted EOS, further steps only append pad at no score cost — identical
@@ -364,8 +386,8 @@ def beam_generate(
         step_idx, _, _, finished, _, _ = carry
         return (step_idx < max_new_tokens) & ~jnp.all(finished)
 
-    init_logits = logits0  # [B*K, V]
-    carry = (jnp.int32(0), seqs, beam_scores, finished, cache, init_logits)
+    init_logits = jnp.repeat(logits0, K, axis=0)  # [B*K, V]
+    carry = (jnp.int32(0), seqs, beam_scores, finished, gen_cache, init_logits)
     (_, seqs, beam_scores, finished, _, _) = jax.lax.while_loop(cond, step, carry)
 
     # rank by normalized score
@@ -393,9 +415,9 @@ def nucleus_generate(
     eos = cfg.eos_newline_id if eos_id is None else eos_id
     B, P, D = prefix_embeds.shape
     K = num_captions
-    pe = jnp.repeat(prefix_embeds, K, axis=0)
-    max_len = P + max_new_tokens + 1
-    logits0, cache, t0 = _prefill(params, cfg, pe, max_len)
+    # samples of one prefix share its K/V by reference — prefill B, decode B*K
+    logits0, prefix_cache = _prefill(params, cfg, prefix_embeds)
+    gen_cache = _init_gen_cache(cfg, B * K, max_new_tokens, prefix_cache[0].dtype)
     N = B * K
     seqs = jnp.full((N, max_new_tokens), cfg.pad_token_id, jnp.int32)
     finished = jnp.zeros((N,), bool)
@@ -413,22 +435,22 @@ def nucleus_generate(
     keys = jax.random.split(rng, max_new_tokens)
 
     def step(carry):
-        step_idx, seqs, finished, cache, logits = carry
+        step_idx, seqs, finished, gen_cache, logits = carry
         V = logits.shape[-1]
         logits = jnp.where((step_idx < min_length) & (jnp.arange(V)[None] == eos), -1e9, logits)
         token = sample_top_p(keys[step_idx], logits)
         token = jnp.where(finished, cfg.pad_token_id, token)
         seqs = seqs.at[:, step_idx].set(token)
         finished = finished | (token == eos)
-        logits, cache = _decode_step(params, cfg, token, cache, t0 + step_idx)
-        return (step_idx + 1, seqs, finished, cache, logits)
+        logits, gen_cache = _decode_step(params, cfg, token, prefix_cache, gen_cache, step_idx, K)
+        return (step_idx + 1, seqs, finished, gen_cache, logits)
 
     def cond(carry):  # early exit: all samples hit EOS (identical output)
         step_idx, _, finished, _, _ = carry
         return (step_idx < max_new_tokens) & ~jnp.all(finished)
 
     (_, seqs, _, _, _) = jax.lax.while_loop(
-        cond, step, (jnp.int32(0), seqs, finished, cache, logits0)
+        cond, step, (jnp.int32(0), seqs, finished, gen_cache, jnp.repeat(logits0, K, axis=0))
     )
     return seqs.reshape(B, K, max_new_tokens)
 

@@ -70,10 +70,13 @@ def test_cached_decode_matches_full_forward(hf_tiny):
 
     full = np.asarray(O.forward(params, cfg, tokens=tokens, prefix_embeds=prefix))  # [2, 7, V]
 
-    logits, cache, t0 = O._prefill(params, cfg, prefix, max_len=16)
+    logits, prefix_cache = O._prefill(params, cfg, prefix)
     np.testing.assert_allclose(np.asarray(logits), full[:, 3], rtol=1e-4, atol=1e-4)
+    gen_cache = O._init_gen_cache(cfg, 2, 3, prefix_cache[0].dtype)
     for i in range(3):
-        logits, cache = O._decode_step(params, cfg, jnp.asarray(tokens[:, i]), cache, t0 + i)
+        logits, gen_cache = O._decode_step(
+            params, cfg, jnp.asarray(tokens[:, i]), prefix_cache, gen_cache, i, expand=1
+        )
         np.testing.assert_allclose(np.asarray(logits), full[:, 4 + i], rtol=1e-4, atol=1e-4)
 
 
