@@ -93,14 +93,21 @@ def multi_head_attention(x, qkv_w, qkv_b, out_w, out_b, n_heads: int, mask=None,
 
 def residual_block(x, p, n_heads: int, mask=None, attn: str = "dense"):
     """Pre-LN residual attention block (attn + QuickGELU MLP)."""
+    from jax.ad_checkpoint import checkpoint_name
+
     h = layer_norm(x, p["ln1_w"], p["ln1_b"])
-    x = x + multi_head_attention(h, p["qkv_w"], p["qkv_b"], p["out_w"], p["out_b"], n_heads, mask, attn=attn)
+    # tagged for remat="save_attn": an identity outside checkpointed scopes
+    a = checkpoint_name(
+        multi_head_attention(h, p["qkv_w"], p["qkv_b"], p["out_w"], p["out_b"], n_heads, mask, attn=attn),
+        "attn_out",
+    )
+    x = x + a
     h = layer_norm(x, p["ln2_w"], p["ln2_b"])
     x = x + linear(quick_gelu(linear(h, p["fc_w"], p["fc_b"])), p["proj_w"], p["proj_b"])
     return x
 
 
-def transformer(x, blocks, n_heads: int, mask=None, remat: bool = False, attn: str = "dense"):
+def transformer(x, blocks, n_heads: int, mask=None, remat=False, attn: str = "dense"):
     """Run a stacked-block transformer with lax.scan.
 
     ``blocks`` is a dict of arrays whose leading axis is the layer index.
@@ -109,12 +116,21 @@ def transformer(x, blocks, n_heads: int, mask=None, remat: bool = False, attn: s
     Essential for paths that differentiate through the tower on big batches
     (encoder-TTA's 64-view ViT backward kept ~20 GB of activations without
     it); forward-only uses are unaffected (nothing to rematerialize).
+
+    Values: False (store everything), True (full per-layer recompute), or
+    "save_attn" (recompute pointwise ops but SAVE each block's attention
+    output — the backward reuses the expensive attention instead of
+    re-running it; [B, T, D] per layer extra residency).
     """
 
     def body(h, layer_params):
         return residual_block(h, layer_params, n_heads, mask, attn=attn), None
 
-    x, _ = jax.lax.scan(jax.checkpoint(body) if remat else body, x, blocks)
+    if remat == "save_attn":
+        body = jax.checkpoint(body, policy=jax.checkpoint_policies.save_only_these_names("attn_out"))
+    elif remat:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, blocks)
     return x
 
 

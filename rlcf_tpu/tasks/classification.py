@@ -599,6 +599,7 @@ class EncoderTTAClassifier:
         momentum: float = 0.9999,
         bn_prior: Optional[float] = None,
         mesh=None,
+        remat=True,
     ):
         from ..core import policy as Po
 
@@ -618,6 +619,10 @@ class EncoderTTAClassifier:
         self.momentum_update = momentum_update
         self.bn_prior = bn_prior
         self.mesh = mesh  # episode-DP: batches shard over dp, params replicate
+        # remat policy for the differentiated visual tower: True = full
+        # per-layer recompute (round-3 winner), "save_attn" = keep each
+        # block's attention output for the backward (layers.transformer)
+        self.remat = remat
         self._Po = Po
 
         if only_norm:
@@ -656,7 +661,7 @@ class EncoderTTAClassifier:
                 # at 64 views x group>1 (measured 21.5 GB); checkpointing the
                 # scan-over-layers recomputes them (bwd +~1 fwd of FLOPs)
                 feats = clip_model.encode_image(
-                    params, cfg, cache["views"][idx], bn_prior=bn_prior, remat=True,
+                    params, cfg, cache["views"][idx], bn_prior=bn_prior, remat=self.remat,
                     attn=clip_model.best_attn(cfg, sharded=self.mesh is not None),
                 )
                 feats = clip_model.normalize(feats.astype(jnp.float32))
