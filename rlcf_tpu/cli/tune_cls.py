@@ -32,6 +32,13 @@ def get_args(argv=None):
         "shard over a dp mesh (visual-tower params replicate; the only "
         "cross-chip traffic is GSPMD's metric gathers)",
     )
+    p.add_argument(
+        "--remat", default="full", choices=["full", "save_attn", "none"],
+        help="visual-tower backward remat policy: full = recompute every "
+        "layer (lowest memory), save_attn = keep each block's attention "
+        "output for the backward, none = store all activations (OOMs at "
+        "64 views x group>1)",
+    )
     return p.parse_args(argv)
 
 
@@ -78,6 +85,7 @@ def main(argv=None):
         update_freq=args.update_freq, update_w=args.update_w, momentum=args.tta_momentum,
         bn_prior=None if args.prior_strength < 0 else args.prior_strength,
         mesh=mesh,
+        remat={"full": True, "save_attn": "save_attn", "none": False}[args.remat],
     )
     gen = make_view_generator(n_views=args.batch_size, resolution=args.resolution, augmix=bool(args.augmix), hard_aug=bool(args.hard_aug))
 
