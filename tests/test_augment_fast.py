@@ -20,6 +20,7 @@ IMG = jnp.asarray(rng.integers(0, 256, size=(64, 64, 3)).astype(np.float32))
         (1.0, 0.0, 0.0, 0.0, 1.0, -6.0),  # translate_y
     ],
 )
+@pytest.mark.slow
 def test_fast_warp_exact_for_separable_affines(matrix):
     exact = np.asarray(ops.affine_transform(IMG, matrix))
     fast = np.asarray(ops.affine_transform_fast(IMG, matrix))
@@ -44,6 +45,7 @@ def test_fast_warp_identity():
     np.testing.assert_allclose(out, np.asarray(IMG), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_planar_kernel_matches_xla_fallback():
     """The two _apply_op_batched warp backends (Pallas kernel vs planar
     XLA shift-blend) produce identical results."""

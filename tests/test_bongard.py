@@ -46,6 +46,7 @@ def make_task_images(n_tasks=2, res=32, seed=0):
 
 
 @pytest.mark.parametrize("learned_cls", [True, False])
+@pytest.mark.slow
 def test_bongard_episode_learns(learned_cls):
     cfg = tiny_cfg()
     params = C.init_clip_params(jax.random.PRNGKey(0), cfg)
@@ -110,6 +111,7 @@ def test_bongard_dataset_loader(tmp_path):
     np.testing.assert_array_equal(task["pos_query"], task2["pos_query"])
 
 
+@pytest.mark.slow
 def test_bongard_cli(tmp_path):
     from rlcf_tpu.cli import tta_cls
 

@@ -47,6 +47,7 @@ def test_mlp_mapper_parity():
     np.testing.assert_allclose(out, data["out"], rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_encoder_decoder_mapper_shapes():
     cfg = M.MapperConfig("transformer_encoder_decoder", clip_dim=16, llm_dim=24, prefix_length=5, clip_length=3, num_layers=2, enc_dec_width=32, n_heads=8)
     params = M.init_mapper_params(jax.random.PRNGKey(0), cfg)
@@ -182,6 +183,7 @@ def test_mapper_checkpoint_roundtrip(tiny_caption, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_caption_tta_end_to_end(tiny_caption, tiny_gpt2_tok):
     params, ccfg = tiny_caption
     # tiny CLIP reward
@@ -282,6 +284,7 @@ def test_caption_ce_unequal_lengths_matches_torch(tiny_caption):
     assert abs(mine - ref) < 1e-5
 
 
+@pytest.mark.slow
 def test_caption_tta_batched_matches_single(tiny_caption, tiny_gpt2_tok):
     """adapt_batch == adapt_image per element (beam path is deterministic)."""
     params, ccfg = tiny_caption
@@ -298,6 +301,7 @@ def test_caption_tta_batched_matches_single(tiny_caption, tiny_gpt2_tok):
     assert batched == singles
 
 
+@pytest.mark.slow
 def test_caption_tta_momentum_updates_anchor(tiny_caption, tiny_gpt2_tok):
     """Momentum EMA (CAP_TTA `custom_models.py:57-71`): each image's adapted
     mapper folds into the EMA; the episode anchor re-bases every update_freq

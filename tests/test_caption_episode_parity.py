@@ -21,6 +21,7 @@ FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "golden_caption_ep
 
 
 @pytest.mark.skipif(not os.path.exists(FIXTURE), reason="golden fixture not generated")
+@pytest.mark.slow
 def test_caption_tta_full_loop_matches_reference(tmp_path):
     from rlcf_tpu.core.reward import ClipReward, RewardConfig
     from rlcf_tpu.models import mappers as M

@@ -19,6 +19,7 @@ def test_zero_shot_cli(tmp_path):
     assert (tmp_path / "results.json").exists()
 
 
+@pytest.mark.slow
 def test_tta_cls_cli_with_resume(tmp_path):
     from rlcf_tpu.cli import tta_cls
 
@@ -101,6 +102,7 @@ def test_tta_cls_cli_native_token_path(tmp_path, monkeypatch):
     assert used.get("tokens"), "patch-major token path did not engage"
 
 
+@pytest.mark.slow
 def test_tta_caption_dataset_mode_ids(tmp_path):
     """--dataset_mode 0 extracts integer COCO ids and path-keys clipscore json
     (`caption/image_llm/datasets/coco_cap.py:239-247`)."""
@@ -135,6 +137,7 @@ def test_tta_caption_dataset_mode_ids(tmp_path):
     assert list(cs.keys()) == ["COCO_val2014_000000000042.jpg"]
 
 
+@pytest.mark.slow
 def test_tta_cls_cli_tp_mesh(tmp_path):
     """--tp 2 runs the sharded classifier on the virtual 8-device mesh."""
     from rlcf_tpu.cli import tta_cls
@@ -148,6 +151,7 @@ def test_tta_cls_cli_tp_mesh(tmp_path):
     assert 0 <= r["synthetic"]["top1"] <= 100
 
 
+@pytest.mark.slow
 def test_tta_retrieval_cli_tp_mesh(tmp_path):
     """--tp 2 runs the gallery-sharded retrieval path on the virtual mesh."""
     from rlcf_tpu.cli import tta_retrieval
@@ -161,6 +165,7 @@ def test_tta_retrieval_cli_tp_mesh(tmp_path):
     assert set(r) >= {"txt_r1", "img_r1", "r_mean"}
 
 
+@pytest.mark.slow
 def test_tta_cls_cli_kd_loss(tmp_path):
     """--loss kd/dkd distills the reward logits through the same episode."""
     from rlcf_tpu.cli import tta_cls
@@ -176,6 +181,7 @@ def test_tta_cls_cli_kd_loss(tmp_path):
         assert 0 <= r["synthetic"]["top1"] <= 100
 
 
+@pytest.mark.slow
 def test_tune_cls_cli(tmp_path):
     """Encoder-TTA entry end to end (norm-only tuning + momentum EMA)."""
     from rlcf_tpu.cli import tune_cls
@@ -206,6 +212,7 @@ def test_export_serving_cli(tmp_path):
     assert callable(load_exported(str(out)))
 
 
+@pytest.mark.slow
 def test_tta_cls_cli_cocoop(tmp_path):
     """--cocoop runs the image-conditioned prompt path end to end."""
     from rlcf_tpu.cli import tta_cls

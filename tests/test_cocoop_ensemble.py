@@ -26,6 +26,7 @@ def make_views(n=2, b=8, res=32, seed=0):
     return np.random.default_rng(seed).normal(size=(n, b, res, res, 3)).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_cocoop_end_to_end():
     cfg = tiny_cfg("cocoop-policy")
     params = C.init_clip_params(jax.random.PRNGKey(0), cfg)

@@ -66,6 +66,7 @@ def test_momentum_state_update():
     assert st.counter == 0
 
 
+@pytest.mark.slow
 def test_encoder_tta_end_to_end(setup):
     params, cfg, reward = setup
     ecfg = EpisodeConfig(tta_steps=2, selection_p=0.25, lr=1e-4, sample_k=2)
@@ -87,6 +88,7 @@ def test_encoder_tta_only_norm(setup):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.slow
 def test_encoder_tta_momentum_changes_anchor(setup):
     params, cfg, reward = setup
     ecfg = EpisodeConfig(tta_steps=1, selection_p=0.25, lr=1e-2, sample_k=2)
@@ -106,6 +108,7 @@ def test_encoder_tta_momentum_changes_anchor(setup):
     assert np.abs(np.asarray(l1) - np.asarray(l2)).max() > 1e-6
 
 
+@pytest.mark.slow
 def test_encoder_tta_resnet_bn_prior():
     cfg = tiny_cfg("tiny-rn", vit=False)
     params = C.init_clip_params(jax.random.PRNGKey(0), cfg)

@@ -85,6 +85,7 @@ def test_adapted_context_close_to_reference(golden):
     np.testing.assert_allclose(np.asarray(logits[0]), data["final_logits"][0], rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_encoder_episode_matches_reference():
     """Encoder-TTA (CLIPCLS_TTA) end-to-end vs the reference inner loop."""
     from rlcf_tpu.tasks.classification import EncoderTTAClassifier
@@ -110,6 +111,7 @@ def test_encoder_episode_matches_reference():
     np.testing.assert_allclose(np.asarray(logits[0]), data["final_logits"][0], rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_encoder_momentum_stream_matches_reference():
     """Momentum-EMA encoder TTA over a sample stream vs the reference flow.
 

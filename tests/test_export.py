@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rlcf_tpu.core.episode import EpisodeConfig
 from rlcf_tpu.core.reward import ClipReward, RewardConfig
@@ -20,6 +21,7 @@ def _tiny_clf():
     )
 
 
+@pytest.mark.slow
 def test_serving_export_roundtrip(tmp_path):
     clf = _tiny_clf()
     views = np.random.default_rng(0).normal(size=(2, 8, 32, 32, 3)).astype(np.float32)
@@ -75,6 +77,7 @@ def test_export_shape_mismatch_fails():
         np.asarray(call(*clf.serving_example_args((2, 8, 32, 32, 3))[:-1], wrong_views))
 
 
+@pytest.mark.slow
 def test_serving_export_tokens_roundtrip(tmp_path):
     """Token-input serving artifact == adapt_tokens on the same u8 views."""
     from rlcf_tpu.models.clip import patch_tokens_from_images

@@ -7,6 +7,7 @@ import numpy as np
 import rlcf_tpu.ops.pallas_attention as PA
 from rlcf_tpu.models import layers as L
 from rlcf_tpu.ops.pallas_attention import _dense_reference, fused_attention
+import pytest
 
 
 def test_fused_attention_matches_dense():
@@ -71,6 +72,7 @@ def test_multi_head_attention_fused_routing(monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_full_prompt_episode_fused_matches_dense(monkeypatch):
     """A complete tiny prompt-TTA run with EVERY tower forced through the
     fused attention kernel (interpret mode) == the dense run — integration

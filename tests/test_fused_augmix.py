@@ -15,6 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # PIL-exactness suite: every test 20-80 s on 1 CPU core
+
 from rlcf_tpu.data.augment import generate_views
 from rlcf_tpu.data.transforms import CLIP_MEAN, CLIP_STD
 from rlcf_tpu.models.clip import patch_tokens_from_images

@@ -94,6 +94,7 @@ def test_hflip():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_generate_views_shapes_and_base_view():
     key = jax.random.PRNGKey(0)
     views = generate_views(jnp.asarray(IMG), key, n_views=8, resolution=32)
@@ -109,6 +110,7 @@ def test_generate_views_shapes_and_base_view():
     assert np.abs(np.asarray(views[1]) - np.asarray(views[2])).max() > 1e-3
 
 
+@pytest.mark.slow
 def test_generate_views_deterministic_per_key():
     v1 = generate_views(jnp.asarray(IMG), jax.random.PRNGKey(7), n_views=4, resolution=32)
     v2 = generate_views(jnp.asarray(IMG), jax.random.PRNGKey(7), n_views=4, resolution=32)
@@ -123,6 +125,7 @@ def test_generate_views_no_augmix():
     assert np.isfinite(np.asarray(views)).all()
 
 
+@pytest.mark.slow
 def test_batched_generator():
     gen = make_view_generator(n_views=4, resolution=32)
     imgs = jnp.asarray(np.stack([IMG, IMG[::-1].copy()]))
@@ -150,6 +153,7 @@ def test_views_in_valid_normalized_range():
     assert views.max() <= hi.max() + 1e-4
 
 
+@pytest.mark.slow
 def test_generate_views_hard_aug():
     key = jax.random.PRNGKey(0)
     views = generate_views(jnp.asarray(IMG), key, n_views=6, resolution=32, hard_aug=True)
@@ -159,6 +163,7 @@ def test_generate_views_hard_aug():
     np.testing.assert_array_equal(np.asarray(views), np.asarray(v2))
 
 
+@pytest.mark.slow
 def test_augmix_views_statistics():
     """Augmented views stay in the valid normalized range and differ from the
     base view with non-degenerate spread."""

@@ -21,6 +21,7 @@ def test_make_mesh_shapes():
         make_mesh(16)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_in_process():
     """The driver's multi-chip gate runs under the pytest virtual 8-CPU mesh
     (exercises the devices-already-sufficient path of _ensure_virtual_devices)."""
@@ -36,6 +37,7 @@ def test_dryrun_multichip_in_process():
         sys.path.pop(0)
 
 
+@pytest.mark.slow
 def test_bench_shaped_sharded_flagship():
     """bench.py's n_devices>1 dp branch, miniaturized: a PromptTTAClassifier
     episode group sharded over the dp mesh matches the unsharded result."""
@@ -141,6 +143,7 @@ def test_prefetch_iterator():
         list(it)
 
 
+@pytest.mark.slow
 def test_tp_sharded_text_features_match_unsharded():
     """Class-axis tp sharding of the prompt text tower is exact, incl. grads."""
     from rlcf_tpu.core import prompt as Pr
@@ -185,6 +188,7 @@ def test_tp_sharded_text_features_match_unsharded():
     np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_ref), rtol=2e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_prompt_classifier_on_mesh_matches_unsharded():
     """PromptTTAClassifier(mesh=dp x tp) == unsharded on the virtual 8-CPU mesh.
 
@@ -373,6 +377,7 @@ def test_retrieval_gallery_tp_sharding_matches_unsharded():
     np.testing.assert_allclose(s_mesh, s_base, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_encoder_classifier_on_mesh_matches_unsharded():
     """EncoderTTAClassifier(mesh=dp) == unsharded on the virtual 8-CPU mesh
     (VERDICT r2 item 3: all four pipelines shardable)."""
@@ -405,6 +410,7 @@ def test_encoder_classifier_on_mesh_matches_unsharded():
     np.testing.assert_allclose(np.asarray(lg_mesh), np.asarray(lg_base), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_caption_tta_on_mesh_matches_unsharded():
     """CaptionTTA(mesh=dp) adapt_batch == unsharded (virtual 8-CPU mesh)."""
     import jax
