@@ -355,7 +355,7 @@ def _byte_level_tokenizer():
     return Gpt2Tokenizer(os.path.join(d, "vocab.json"), os.path.join(d, "merges.txt"))
 
 
-def bench_caption_tta(quick=False):
+def bench_caption_tta(quick=False, group=None):
     import jax
     import jax.numpy as jnp
     from rlcf_tpu.models import clip as C
@@ -368,8 +368,9 @@ def bench_caption_tta(quick=False):
     )
 
     # group 8: each decode step streams the full OPT weights, so images per
-    # batch amortize the dominant cost (the CLI equivalent: --episode_group 8)
-    group = 2 if quick else 8
+    # batch amortize the dominant cost (the CLI equivalent: --episode_group 8);
+    # override with --caption_group for the knee sweep
+    group = group or (2 if quick else 8)
     steps, sample_k, max_new = (2, 3, 16) if quick else (4, 6, 50)
     rcfg_arch = C.get_config("ViT-B/16" if quick else "ViT-L/14")
     rparams = jax.jit(lambda k: C.init_clip_params(k, rcfg_arch, dtype=jnp.bfloat16))(jax.random.PRNGKey(1))
@@ -419,9 +420,11 @@ def bench_caption_tta(quick=False):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="PERF_r03.json")
+    ap.add_argument("--out", default="PERF_r04.json")
     ap.add_argument("--quick", action="store_true", help="tiny shapes (CI smoke; numbers not comparable)")
     ap.add_argument("--only", default=None, help="comma-separated subset of pipeline names")
+    ap.add_argument("--caption_group", type=int, default=None,
+                    help="caption_tta episode-group override (decode-phase knee sweep)")
     args = ap.parse_args(argv)
 
     from rlcf_tpu.utils.runtime import enable_compilation_cache
@@ -433,7 +436,7 @@ def main(argv=None):
         "encoder_tta": lambda: bench_encoder_tta(args.quick),
         "retrieval_i2t": lambda: bench_retrieval("i2t", args.quick),
         "retrieval_t2i": lambda: bench_retrieval("t2i", args.quick),
-        "caption_tta": lambda: bench_caption_tta(args.quick),
+        "caption_tta": lambda: bench_caption_tta(args.quick, group=args.caption_group),
         # opt-in (not in the default matrix): CPU-mesh tp A/B and the
         # encoder remat-policy A/B arm (saved attention outputs)
         "retrieval_tp_ab": lambda: bench_retrieval_tp_ab(args.quick),
