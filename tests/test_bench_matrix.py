@@ -36,7 +36,7 @@ def test_only_merge_keeps_other_records(tmp_path, monkeypatch):
     }))
     monkeypatch.setitem(
         bench_matrix.__dict__, "bench_caption_tta",
-        lambda quick=False: {"pipeline": "caption_tta", "ms_per_unit": 123.0},
+        lambda quick=False, **kw: {"pipeline": "caption_tta", "ms_per_unit": 123.0},
     )
     # avoid touching jax config in-test
     import rlcf_tpu.utils.runtime as rt
