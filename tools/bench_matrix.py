@@ -1,9 +1,9 @@
-"""Per-pipeline benchmark matrix -> PERF_r03-style JSON records.
+"""Per-pipeline benchmark matrix -> PERF_rNN JSON records.
 
 One command, four machine-readable records (the regression surface VERDICT
 round 2 asked for — only the flagship had one):
 
-    python tools/bench_matrix.py [--out PERF_r03.json] [--quick]
+    python tools/bench_matrix.py [--out PERF_r04.json] [--quick]
 
 Pipelines (reference configs, BASELINE.md matrix):
   1. prompt_tta    — flagship `rlcf-prompt.sh`: ViT-B/16 policy, ViT-L/14
