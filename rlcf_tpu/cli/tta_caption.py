@@ -29,6 +29,12 @@ def get_args(argv=None):
     p.add_argument("--tta_lr", type=float, default=3e-6)
     p.add_argument("--weight_decay", type=float, default=5e-4)
     p.add_argument("--use_nucleus_sampling", type=int, default=0)
+    p.add_argument(
+        "--quantize_decode", type=int, default=0,
+        help="int8 weight-only OPT decode (halves the per-token weight "
+        "stream; generation-only — the CE/update path keeps full precision; "
+        "sampled captions may differ within quantization error)",
+    )
     p.add_argument("--prefix_length", type=int, default=40)
     p.add_argument("--clip_length", type=int, default=40)
     p.add_argument("--mapping_type", default="transformer", choices=["mlp", "transformer"])
@@ -150,6 +156,7 @@ def main(argv=None):
         use_nucleus=bool(args.use_nucleus_sampling),
         momentum_update=bool(args.momentum_update), update_freq=args.update_freq,
         update_w=args.update_w, momentum=args.tta_momentum, mesh=mesh,
+        quantize_decode=bool(args.quantize_decode),
     )
 
     # Reference caption CLIs take --dataset_mode as an int selecting the eval

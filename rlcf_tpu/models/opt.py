@@ -111,6 +111,66 @@ def _ln(x, w, b, eps=1e-5):
     return ((x32 - mu) * jax.lax.rsqrt(var + eps) * w + b).astype(x.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Weight-only int8 (decode weight stream)
+# ---------------------------------------------------------------------------
+
+
+def _w(p, name, dt):
+    """Weight fetch with optional int8 weight-only dequant.
+
+    Quantized entries are {"q8": int8, "sc": f32 per-output-channel scales}
+    (see ``quantize_opt_params``). The dequant multiply fuses into the
+    consuming dot's operand read on TPU, so HBM streams the int8 bytes —
+    the point of the scheme: cached decode is weight-stream-bound, and int8
+    halves the bytes/token vs bf16."""
+    v = p[name]
+    if isinstance(v, dict):
+        return (v["q8"].astype(jnp.float32) * v["sc"]).astype(dt)
+    return v
+
+
+def _embed_rows(params, tokens, dt):
+    """Embedding lookup supporting int8 rows (per-row scales)."""
+    v = params["embed_tokens"]
+    if isinstance(v, dict):
+        return (v["q8"][tokens].astype(jnp.float32) * v["sc"][tokens][..., None]).astype(dt)
+    return v[tokens]
+
+
+def quantize_opt_params(params):
+    """Weight-only int8 quantization of the decode weight stream.
+
+    Symmetric per-output-channel scales for the block matrices and
+    projections; per-row scales for the tied embedding/LM-head matrix (one
+    scale vector serves both the lookup and the ``x @ W.T`` head, where it
+    applies per output column). LayerNorms, biases, and positional
+    embeddings stay in full precision (<1% of bytes).
+
+    OPT-IN, generation-path only: logits move by the quantization error, so
+    sampled/beam tokens may differ from full precision — the CE/update path
+    keeps full-precision weights. The reference has no equivalent; this is a
+    TPU serving optimization (decode streams all weights each token)."""
+
+    def q(w, axis):
+        w32 = np.asarray(w, np.float32)
+        sc = np.max(np.abs(w32), axis=axis, keepdims=True) / 127.0
+        sc = np.maximum(sc, 1e-12)
+        q8 = np.clip(np.rint(w32 / sc), -127, 127).astype(np.int8)
+        return {"q8": jnp.asarray(q8), "sc": jnp.asarray(np.squeeze(sc, axis=axis))}
+
+    out = dict(params)
+    blocks = dict(params["blocks"])
+    for name in ("q_w", "k_w", "v_w", "out_w", "fc1_w", "fc2_w"):
+        blocks[name] = q(blocks[name], axis=1)  # [L, in, out] -> sc [L, out]
+    out["blocks"] = blocks
+    out["embed_tokens"] = q(params["embed_tokens"], axis=1)  # [V, E] -> sc [V]
+    for name in ("project_in", "project_out"):
+        if name in params:
+            out[name] = q(params[name], axis=0)  # [in, out] -> sc [out]
+    return out
+
+
 def _attn(x, p, cfg: OPTConfig, mask_bias, kv=None):
     """Self-attention; OPT scales q before the dot product.
 
@@ -120,9 +180,9 @@ def _attn(x, p, cfg: OPTConfig, mask_bias, kv=None):
     B, T, D = x.shape
     H = cfg.n_heads
     hd = D // H
-    q = (x @ p["q_w"] + p["q_b"]) * (hd**-0.5)
-    k = x @ p["k_w"] + p["k_b"]
-    v = x @ p["v_w"] + p["v_b"]
+    q = (x @ _w(p, "q_w", x.dtype) + p["q_b"]) * (hd**-0.5)
+    k = x @ _w(p, "k_w", x.dtype) + p["k_b"]
+    v = x @ _w(p, "v_w", x.dtype) + p["v_b"]
     split = lambda t: t.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
     q, k_new, v_new = split(q), split(k), split(v)
     if kv is not None:
@@ -134,7 +194,11 @@ def _attn(x, p, cfg: OPTConfig, mask_bias, kv=None):
     probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs, v_all, preferred_element_type=jnp.float32).astype(x.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
-    return out @ p["out_w"] + p["out_b"], (k_new, v_new)
+    return out @ _w(p, "out_w", x.dtype) + p["out_b"], (k_new, v_new)
+
+
+def _mlp(x, p):
+    return jax.nn.relu(x @ _w(p, "fc1_w", x.dtype) + p["fc1_b"]) @ _w(p, "fc2_w", x.dtype) + p["fc2_b"]
 
 
 def _layer(x, p, cfg, mask_bias, kv=None):
@@ -142,19 +206,17 @@ def _layer(x, p, cfg, mask_bias, kv=None):
     if cfg.do_layer_norm_before:
         h, kv_new = _attn(_ln(x, p["ln1_w"], p["ln1_b"]), p, cfg, mask_bias, kv)
         x = x + h
-        h = _ln(x, p["ln2_w"], p["ln2_b"])
-        h = jax.nn.relu(h @ p["fc1_w"] + p["fc1_b"]) @ p["fc2_w"] + p["fc2_b"]
+        h = _mlp(_ln(x, p["ln2_w"], p["ln2_b"]), p)
         return x + h, kv_new
     h, kv_new = _attn(x, p, cfg, mask_bias, kv)
     x = _ln(x + h, p["ln1_w"], p["ln1_b"])
-    h = jax.nn.relu(x @ p["fc1_w"] + p["fc1_b"]) @ p["fc2_w"] + p["fc2_b"]
-    return _ln(x + h, p["ln2_w"], p["ln2_b"]), kv_new
+    return _ln(x + _mlp(x, p), p["ln2_w"], p["ln2_b"]), kv_new
 
 
 def _embed_in(params, x):
     """Proj-space embeddings -> hidden space (`modeling_opt.py` project_in)."""
     if "project_in" in params:
-        return jnp.dot(x, params["project_in"], preferred_element_type=jnp.float32).astype(x.dtype)
+        return jnp.dot(x, _w(params, "project_in", x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
     return x
 
 
@@ -167,8 +229,14 @@ def _head(params, cfg: OPTConfig, x):
     if "final_ln_w" in params:
         x = _ln(x, params["final_ln_w"], params["final_ln_b"])
     if "project_out" in params:
-        x = jnp.dot(x, params["project_out"], preferred_element_type=jnp.float32).astype(x.dtype)
-    return jnp.dot(x, params["embed_tokens"].T, preferred_element_type=jnp.float32)
+        x = jnp.dot(x, _w(params, "project_out", x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+    emb = params["embed_tokens"]
+    if isinstance(emb, dict):
+        # per-row scales apply per OUTPUT column of x @ W.T — the int8 bytes
+        # stream from HBM, the dequant rides the dot epilogue
+        logits = jnp.dot(x, emb["q8"].T.astype(x.dtype), preferred_element_type=jnp.float32)
+        return logits * emb["sc"]
+    return jnp.dot(x, emb.T, preferred_element_type=jnp.float32)
 
 
 def _positions_from_mask(mask, offset):
@@ -194,7 +262,8 @@ def forward(params, cfg: OPTConfig, tokens=None, prefix_embeds=None, attention_m
     if prefix_embeds is not None:
         embeds.append(prefix_embeds)
     if tokens is not None:
-        embeds.append(params["embed_tokens"][tokens])
+        dt = prefix_embeds.dtype if prefix_embeds is not None else jnp.float32
+        embeds.append(_embed_rows(params, tokens, dt))
     x = _embed_in(params, jnp.concatenate(embeds, axis=1))
     B, T, D = x.shape
     if attention_mask is None:
@@ -268,7 +337,7 @@ def _decode_step(params, cfg: OPTConfig, token, prefix_cache, gen_cache, t, expa
     N = token.shape[0]
     E = expand
     D = cfg.hidden
-    x = _embed_in(params, params["embed_tokens"][token][:, None, :])  # [N, 1, D]
+    x = _embed_in(params, _embed_rows(params, token, k_pre.dtype)[:, None, :])  # [N, 1, D]
     x = x + params["embed_positions"][P + t + cfg.pos_offset][None, None, :]
     # generated-position mask: attend to gen slots [0, t] (prefix always valid)
     gen_bias = jnp.where((jnp.arange(G) <= t)[None, None, :], 0.0, -1e9).astype(jnp.float32)
@@ -277,9 +346,9 @@ def _decode_step(params, cfg: OPTConfig, token, prefix_cache, gen_cache, t, expa
         h = carry
         layer_params, k_p, v_p, k_g, v_g = inp
         h_ln = _ln(h, layer_params["ln1_w"], layer_params["ln1_b"]) if cfg.do_layer_norm_before else h
-        q = (h_ln @ layer_params["q_w"] + layer_params["q_b"]) * (hd**-0.5)
-        k_new = h_ln @ layer_params["k_w"] + layer_params["k_b"]
-        v_new = h_ln @ layer_params["v_w"] + layer_params["v_b"]
+        q = (h_ln @ _w(layer_params, "q_w", h.dtype) + layer_params["q_b"]) * (hd**-0.5)
+        k_new = h_ln @ _w(layer_params, "k_w", h.dtype) + layer_params["k_b"]
+        v_new = h_ln @ _w(layer_params, "v_w", h.dtype) + layer_params["v_b"]
         q = q.reshape(N, H, hd)
         k_new = k_new.reshape(N, 1, H, hd).transpose(0, 2, 1, 3)
         v_new = v_new.reshape(N, 1, H, hd).transpose(0, 2, 1, 3)
@@ -297,15 +366,13 @@ def _decode_step(params, cfg: OPTConfig, token, prefix_cache, gen_cache, t, expa
         out_gen = jnp.einsum("nhg,nhgd->nhd", probs[:, :, P:], v_g,
                              preferred_element_type=jnp.float32)
         out = (out_pre.reshape(N, H, hd) + out_gen).astype(h.dtype).reshape(N, 1, D)
-        out = out @ layer_params["out_w"] + layer_params["out_b"]
+        out = out @ _w(layer_params, "out_w", h.dtype) + layer_params["out_b"]
         if cfg.do_layer_norm_before:
             h = h + out
-            h2 = _ln(h, layer_params["ln2_w"], layer_params["ln2_b"])
-            h2 = jax.nn.relu(h2 @ layer_params["fc1_w"] + layer_params["fc1_b"]) @ layer_params["fc2_w"] + layer_params["fc2_b"]
+            h2 = _mlp(_ln(h, layer_params["ln2_w"], layer_params["ln2_b"]), layer_params)
             return h + h2, (k_g, v_g)
         h = _ln(h + out, layer_params["ln1_w"], layer_params["ln1_b"])
-        h2 = jax.nn.relu(h @ layer_params["fc1_w"] + layer_params["fc1_b"]) @ layer_params["fc2_w"] + layer_params["fc2_b"]
-        return _ln(h + h2, layer_params["ln2_w"], layer_params["ln2_b"]), (k_g, v_g)
+        return _ln(h + _mlp(h, layer_params), layer_params["ln2_w"], layer_params["ln2_b"]), (k_g, v_g)
 
     x, (k_gen, v_gen) = jax.lax.scan(body, x, (params["blocks"], k_pre, v_pre, k_gen, v_gen))
     logits = _head(params, cfg, x)[:, 0]

@@ -280,6 +280,7 @@ class CaptionTTA:
         momentum: float = 0.9999,
         token_pad_len: Optional[int] = None,
         mesh=None,
+        quantize_decode: bool = False,
     ):
         from ..core import policy as Po
 
@@ -315,6 +316,11 @@ class CaptionTTA:
         self.mesh = mesh
         self._Po = Po
         self._sample_counter = 0
+        # Opt-in int8 weight-only decode (models/opt.py::quantize_opt_params):
+        # generation streams all OPT weights per token, so int8 halves the
+        # decode's HBM bytes; the CE/update path keeps full precision.
+        # Sampled/beam captions may differ within quantization error.
+        self.decode_params = O.quantize_opt_params(params["opt"]) if quantize_decode else params["opt"]
 
         # LLM/reward params flow in as jit arguments (closure capture would
         # bake them into the executables — compile explosion at OPT-125m scale).
@@ -525,7 +531,7 @@ class CaptionTTA:
         self._sample_counter += 1
         img_feat = self._reward_image_feat(rparams, image[None])[0]  # hoisted: once per episode
         for step in range(self.tta_steps):
-            seqs = self._generate_k(opt_params, mapper, clip_emb, jax.random.fold_in(step_rng, step))  # [1, K, L]
+            seqs = self._generate_k(self.decode_params, mapper, clip_emb, jax.random.fold_in(step_rng, step))  # [1, K, L]
             texts, opt_tokens, opt_mask, clip_tokens = self._decode_and_retokenize(np.asarray(seqs[0]))
             rewards = self._reward_of(rparams, img_feat, jnp.asarray(clip_tokens))
             if trace is not None:
@@ -534,7 +540,7 @@ class CaptionTTA:
             mapper, opt_state, _ = self._update_step(
                 opt_params, mapper, opt_state, clip_emb[0], jnp.asarray(opt_tokens), jnp.asarray(attn), rewards
             )
-        final = self._generate_final(opt_params, mapper, clip_emb)
+        final = self._generate_final(self.decode_params, mapper, clip_emb)
         caption = self.tok.batch_decode(np.asarray(final), stop_id=self.ccfg.opt.eos_newline_id)[0].lower()
         if self.momentum_update:
             self.momentum_state = self._Po.momentum_update(self.momentum_state, mapper, **self.momentum_cfg)
@@ -571,7 +577,7 @@ class CaptionTTA:
         self._sample_counter += 1
         img_feats = self._reward_image_feat(rparams, images)  # hoisted: once per group
         for step in range(self.tta_steps):
-            seqs = self._generate_k_batch(opt_params, mappers, clip_embs, jax.random.fold_in(step_rng, step))
+            seqs = self._generate_k_batch(self.decode_params, mappers, clip_embs, jax.random.fold_in(step_rng, step))
             flat = np.asarray(seqs).reshape(N * self.sample_k, -1)
             texts, opt_tokens, opt_mask, clip_tokens = self._decode_and_retokenize(flat)
             rewards = self._reward_of_batch(
@@ -587,7 +593,7 @@ class CaptionTTA:
                 jnp.asarray(attn).reshape(N, K, -1),
                 rewards,
             )
-        final = self._generate_final_batch(opt_params, mappers, clip_embs)
+        final = self._generate_final_batch(self.decode_params, mappers, clip_embs)
         captions = [t.lower() for t in self.tok.batch_decode(np.asarray(final), stop_id=self.ccfg.opt.eos_newline_id)]
         if self.momentum_update:
             self.momentum_state = self._Po.momentum_update_batch(
@@ -597,7 +603,7 @@ class CaptionTTA:
 
     def predict_only(self, clip_emb) -> List[str]:
         """No-TTA beam-5 predictions (`caption/predictions.py:21-70`)."""
-        final = self._generate_final(self.params["opt"], self.params["mapper"], jnp.asarray(clip_emb))
+        final = self._generate_final(self.decode_params, self.params["mapper"], jnp.asarray(clip_emb))
         return [t.lower() for t in self.tok.batch_decode(np.asarray(final), stop_id=self.ccfg.opt.eos_newline_id)]
 
 

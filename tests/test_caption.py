@@ -395,3 +395,25 @@ def test_caption_ce_invariant_to_pad_past_longest(tiny_caption):
     ce1 = Cap.caption_ce(jnp.asarray(logits1), jnp.asarray(tokens1), P, per_sample=True, valid_mask=jnp.asarray(mask1))
     ce2 = Cap.caption_ce(jnp.asarray(logits2), jnp.asarray(tokens2), P, per_sample=True, valid_mask=jnp.asarray(mask2))
     np.testing.assert_allclose(np.asarray(ce1), np.asarray(ce2), rtol=1e-6)
+
+
+def test_caption_tta_quantized_decode_runs(tiny_caption, tiny_gpt2_tok):
+    """int8 weight-only decode: generation works and the CE/update path keeps
+    full-precision weights (decode_params differ from params['opt'])."""
+    params, ccfg = tiny_caption
+    rcfg = C.ClipConfig("tiny-reward", 16, 32, 1, 32, 16, 32, 1, vision_heads_override=2, text_heads_override=2)
+    reward = ClipReward(C.init_clip_params(jax.random.PRNGKey(1), rcfg), rcfg, RewardConfig(sample_k=3))
+    tta = Cap.CaptionTTA(
+        params, ccfg, reward, tiny_gpt2_tok, tta_steps=1, lr=1e-3, sample_k=3,
+        max_new_tokens=6, token_pad_len=10, quantize_decode=True,
+    )
+    import jax.numpy as jnp
+    assert isinstance(tta.decode_params["embed_tokens"], dict)
+    assert tta.decode_params["embed_tokens"]["q8"].dtype == jnp.int8
+    assert not isinstance(tta.params["opt"]["embed_tokens"], dict)  # updates stay fp
+    image = np.random.default_rng(0).normal(size=(32, 32, 3)).astype(np.float32)
+    clip_emb = np.random.default_rng(1).normal(size=(16,)).astype(np.float32)
+    caption = tta.adapt_image(image, clip_emb)
+    assert isinstance(caption, str)
+    caps = tta.adapt_batch(np.stack([image, image]), np.stack([clip_emb, clip_emb]))
+    assert len(caps) == 2 and caps[0] == caps[1]

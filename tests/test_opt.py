@@ -213,3 +213,49 @@ def test_350m_beam_matches_hf(hf_tiny_350m):
         ).numpy()
     seqs, _ = O.beam_generate(params, cfg, jnp.asarray(prefix_np), num_beams=3, max_new_tokens=4, min_length=0, eos_id=999)
     np.testing.assert_array_equal(np.asarray(seqs)[0], ref)
+
+
+# ---------------------------------------------------------------------------
+# Weight-only int8 decode (opt-in serving optimization; no reference
+# equivalent — the generation path may legally diverge within quant error)
+# ---------------------------------------------------------------------------
+
+
+def test_int8_quantized_forward_close_and_storage_int8(hf_tiny):
+    _, params, cfg = hf_tiny
+    qparams = O.quantize_opt_params(params)
+    assert qparams["embed_tokens"]["q8"].dtype == jnp.int8
+    assert qparams["blocks"]["fc1_w"]["q8"].dtype == jnp.int8
+    # quantized bytes ~halve the big-matrix stream (int8 vs f32 here)
+    rng = np.random.default_rng(4)
+    prefix = jnp.asarray(rng.normal(size=(2, 4, 32)).astype(np.float32) * 0.1)
+    tokens = np.array([[5, 9, 100], [7, 30, 11]], dtype=np.int32)
+    full = np.asarray(O.forward(params, cfg, tokens=tokens, prefix_embeds=prefix))
+    quant = np.asarray(O.forward(qparams, cfg, tokens=tokens, prefix_embeds=prefix))
+    # per-channel symmetric int8: logits within ~1% of the logit scale
+    scale = np.maximum(np.abs(full).max(), 1e-3)
+    assert np.max(np.abs(quant - full)) / scale < 0.02
+
+
+def test_int8_quantized_beam_runs_and_mostly_matches(hf_tiny):
+    _, params, cfg = hf_tiny
+    qparams = O.quantize_opt_params(params)
+    rng = np.random.default_rng(5)
+    prefix = jnp.asarray(rng.normal(size=(2, 4, 32)).astype(np.float32) * 0.1)
+    seqs_f, _ = O.beam_generate(params, cfg, prefix, num_beams=3, max_new_tokens=6, num_return=3)
+    seqs_q, _ = O.beam_generate(qparams, cfg, prefix, num_beams=3, max_new_tokens=6, num_return=3)
+    assert seqs_q.shape == seqs_f.shape
+    # tokens may flip near decision boundaries; demand broad agreement
+    agree = float(np.mean(np.asarray(seqs_q) == np.asarray(seqs_f)))
+    assert agree > 0.6, f"quantized beam diverged too far (agreement {agree:.2f})"
+
+
+def test_int8_quantized_350m_forward_close(hf_tiny_350m):
+    _, params, cfg = hf_tiny_350m
+    qparams = O.quantize_opt_params(params)
+    assert qparams["project_in"]["q8"].dtype == jnp.int8
+    tokens = np.array([[2, 5, 9, 100, 42]], dtype=np.int32)
+    full = np.asarray(O.forward(params, cfg, tokens=tokens))
+    quant = np.asarray(O.forward(qparams, cfg, tokens=tokens))
+    scale = np.maximum(np.abs(full).max(), 1e-3)
+    assert np.max(np.abs(quant - full)) / scale < 0.03

@@ -35,6 +35,8 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
                     help="f32 for CPU smoke runs (CPU XLA lacks bf16 dots)")
+    ap.add_argument("--quant", action="store_true",
+                    help="int8 weight-only decode (quantize_opt_params)")
     args = ap.parse_args(argv)
 
     from rlcf_tpu.utils.runtime import enable_compilation_cache
@@ -47,6 +49,8 @@ def main(argv=None):
     cfg = O.OPT_CONFIGS[args.model]
     dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     params = O.init_opt_params(jax.random.PRNGKey(0), cfg, dtype=dt)
+    if args.quant:
+        params = O.quantize_opt_params(params)
     B, K, P, G = args.group, args.beams, args.prefix, args.new
     N = B * K
     prefix = jax.random.normal(jax.random.PRNGKey(1), (B, P, cfg.embed_dim), dt) * 0.02
@@ -92,8 +96,8 @@ def main(argv=None):
     )
     beam_s, _ = timed(beam, params, prefix, iters=max(3, args.iters // 4))
 
-    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
-    bytes_per_step = (2 if args.dtype == "bf16" else 4) * n_params  # weight stream
+    # actual weight-stream bytes (int8 leaves count 1 byte under --quant)
+    bytes_per_step = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
     out = {
         "model": args.model,
         "shapes": {"group": B, "beams": K, "prefix": P, "max_new": G, "seqs": N},
