@@ -61,6 +61,11 @@ def get_args(argv=None):
         "groups (per-image mapper states) shard over a dp mesh; OPT/reward "
         "params replicate",
     )
+    p.add_argument(
+        "--tp", type=int, default=1,
+        help="tensor-parallel width for the OPT decode weight stream "
+        "(Megatron split: heads/ffn/vocab shard over tp; parallel/tp_opt.py)",
+    )
     return p.parse_args(argv)
 
 
@@ -140,10 +145,10 @@ def main(argv=None):
             params["mapper"] = M.convert_mapper_state_dict(load_torch_file(args.checkpoint), mcfg)
 
     mesh = None
-    if args.dp > 1:
+    if args.dp > 1 or args.tp > 1:
         from ..parallel.mesh import make_mesh, round_to_dp
 
-        mesh = make_mesh(n_devices=args.dp, dp=args.dp, tp=1)
+        mesh = make_mesh(n_devices=args.dp * args.tp, dp=args.dp, tp=args.tp)
         print(f"mesh: {dict(mesh.shape)}")
         rounded = round_to_dp(args.episode_group, mesh)
         if rounded != args.episode_group:

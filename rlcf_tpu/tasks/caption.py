@@ -321,6 +321,12 @@ class CaptionTTA:
         # decode's HBM bytes; the CE/update path keeps full precision.
         # Sampled/beam captions may differ within quantization error.
         self.decode_params = O.quantize_opt_params(params["opt"]) if quantize_decode else params["opt"]
+        if mesh is not None and mesh.shape.get("tp", 1) > 1:
+            # tensor-parallel decode: Megatron-split weight shardings; GSPMD
+            # propagates head-sharded KV caches + inserts the collectives
+            from ..parallel.tp_opt import tp_opt_params
+
+            self.decode_params = tp_opt_params(mesh, self.decode_params)
 
         # LLM/reward params flow in as jit arguments (closure capture would
         # bake them into the executables — compile explosion at OPT-125m scale).

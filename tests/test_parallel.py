@@ -467,3 +467,64 @@ def test_caption_tta_on_mesh_matches_unsharded():
     sharded = CaptionTTA(params, ccfg, reward, ByteTok(), mesh=mesh, **kw)
     caps_mesh = sharded.adapt_batch(images, embs)
     assert caps_base == caps_mesh
+    # dp=4 x tp=2: groups shard over dp AND the decode weights Megatron-split
+    # over tp (parallel/tp_opt.py) — captions must not move
+    mesh2 = make_mesh(8, tp=2)
+    sharded2 = CaptionTTA(params, ccfg, reward, ByteTok(), mesh=mesh2, **kw)
+    assert "tp" in str(sharded2.decode_params["blocks"]["q_w"].sharding.spec)
+    caps_mesh2 = sharded2.adapt_batch(images, embs)
+    assert caps_base == caps_mesh2
+
+
+def test_tp_opt_decode_matches_unsharded():
+    """Megatron-split OPT decode (parallel/tp_opt.py): tp=2-sharded weights
+    give the same forward logits and the same beam sequences as unsharded —
+    GSPMD propagates head-sharded KV caches and inserts the collectives."""
+    import jax.numpy as jnp
+    from rlcf_tpu.models import opt as O
+    from rlcf_tpu.parallel.mesh import make_mesh
+    from rlcf_tpu.parallel.tp_opt import tp_opt_params
+
+    cfg = O.OPT_CONFIGS["test-tiny-opt"]  # 2 heads, ffn 64, vocab 256: tp=2 divides
+    params = O.init_opt_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(n_devices=2, dp=1, tp=2)
+    sharded = tp_opt_params(mesh, params)
+    assert "tp" in str(sharded["blocks"]["q_w"].sharding.spec)
+    assert "tp" in str(sharded["embed_tokens"].sharding.spec)
+
+    rng = np.random.default_rng(0)
+    prefix = jnp.asarray(rng.normal(size=(2, 4, cfg.embed_dim)).astype(np.float32) * 0.1)
+    tokens = np.array([[5, 9, 100], [7, 30, 11]], dtype=np.int32)
+
+    base = np.asarray(O.forward(params, cfg, tokens=tokens, prefix_embeds=prefix))
+    tp = np.asarray(O.forward(sharded, cfg, tokens=tokens, prefix_embeds=prefix))
+    np.testing.assert_allclose(tp, base, rtol=1e-4, atol=1e-5)
+
+    seqs_b, sc_b = O.beam_generate(params, cfg, prefix, num_beams=3, max_new_tokens=6, num_return=3)
+    seqs_t, sc_t = O.beam_generate(sharded, cfg, prefix, num_beams=3, max_new_tokens=6, num_return=3)
+    np.testing.assert_array_equal(np.asarray(seqs_t), np.asarray(seqs_b))
+    np.testing.assert_allclose(np.asarray(sc_t), np.asarray(sc_b), rtol=1e-4, atol=1e-5)
+
+
+def test_tp_opt_decode_quantized_matches_unsharded_quantized():
+    """int8 tree shards along the same axes (scales follow their weight)."""
+    import jax.numpy as jnp
+    from rlcf_tpu.models import opt as O
+    from rlcf_tpu.parallel.mesh import make_mesh
+    from rlcf_tpu.parallel.tp_opt import tp_opt_params
+
+    cfg = O.OPT_CONFIGS["test-tiny-opt-350m"]  # exercises project_in/out + post-LN
+    qparams = O.quantize_opt_params(O.init_opt_params(jax.random.PRNGKey(0), cfg))
+    mesh = make_mesh(n_devices=2, dp=1, tp=2)
+    sharded = tp_opt_params(mesh, qparams)
+    assert sharded["blocks"]["fc1_w"]["q8"].dtype == jnp.int8
+
+    rng = np.random.default_rng(1)
+    prefix = jnp.asarray(rng.normal(size=(1, 4, cfg.embed_dim)).astype(np.float32) * 0.1)
+    base = np.asarray(O.forward(qparams, cfg, prefix_embeds=prefix))
+    tp = np.asarray(O.forward(sharded, cfg, prefix_embeds=prefix))
+    np.testing.assert_allclose(tp, base, rtol=1e-4, atol=1e-5)
+
+    seqs_b, _ = O.beam_generate(qparams, cfg, prefix, num_beams=2, max_new_tokens=5)
+    seqs_t, _ = O.beam_generate(sharded, cfg, prefix, num_beams=2, max_new_tokens=5)
+    np.testing.assert_array_equal(np.asarray(seqs_t), np.asarray(seqs_b))
