@@ -476,6 +476,7 @@ def test_caption_tta_on_mesh_matches_unsharded():
     assert caps_base == caps_mesh2
 
 
+@pytest.mark.slow
 def test_tp_opt_decode_matches_unsharded():
     """Megatron-split OPT decode (parallel/tp_opt.py): tp=2-sharded weights
     give the same forward logits and the same beam sequences as unsharded —
@@ -506,6 +507,7 @@ def test_tp_opt_decode_matches_unsharded():
     np.testing.assert_allclose(np.asarray(sc_t), np.asarray(sc_b), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_tp_opt_decode_quantized_matches_unsharded_quantized():
     """int8 tree shards along the same axes (scales follow their weight)."""
     import jax.numpy as jnp
