@@ -85,25 +85,50 @@ def load_karpathy_annotations(ann_path: str, vis_root: str = "", process_text: b
     return RetrievalGallery(image_paths, texts, img2txt, txt2img)
 
 
-def encode_text_gallery(params, cfg, texts: Sequence[str], batch_size: int = 256):
-    """Normalized text features [N, E] for the whole caption gallery."""
+def _dp_batch(mesh, batch):
+    """Shard a gallery-precompute batch over the mesh's dp axis (replicated
+    params + dp-sharded batch = GSPMD splits the tower forward across chips);
+    pads a ragged tail to a dp multiple (features of the pad rows are
+    discarded by the caller's concat length)."""
+    if mesh is None or "dp" not in mesh.shape:
+        return jnp.asarray(batch), len(batch)
+    from ..parallel.mesh import dp_put
+
+    n = len(batch)
+    dp = mesh.shape["dp"]
+    if n % dp:
+        import numpy as _np
+
+        pad = dp - n % dp
+        batch = _np.concatenate([_np.asarray(batch), _np.repeat(_np.asarray(batch[-1:]), pad, axis=0)])
+    return dp_put(mesh, jnp.asarray(batch)), n
+
+
+def encode_text_gallery(params, cfg, texts: Sequence[str], batch_size: int = 256, mesh=None):
+    """Normalized text features [N, E] for the whole caption gallery.
+
+    ``mesh``: shard each encode batch over dp — the COCO-scale precompute
+    (25k captions / 5k images) is a pure batch forward, so it scales
+    linearly with chips."""
     from .classification import truncate_tokens
 
     tokens = truncate_tokens(tokenize(list(texts), truncate=True))
     encode = jax.jit(functools.partial(clip_model.encode_text, cfg=cfg))
     feats = []
     for s in range(0, tokens.shape[0], batch_size):
-        feats.append(encode(params, tokens=jnp.asarray(tokens[s : s + batch_size])))
+        dev, n = _dp_batch(mesh, tokens[s : s + batch_size])
+        feats.append(encode(params, tokens=dev)[:n])
     out = jnp.concatenate(feats, axis=0).astype(jnp.float32)
     return clip_model.normalize(out), tokens
 
 
-def encode_image_gallery(params, cfg, images_iter, batch_size: int = 64):
+def encode_image_gallery(params, cfg, images_iter, batch_size: int = 64, mesh=None):
     """Normalized image features [M, E] from an iterator of NHWC batches."""
     encode = jax.jit(functools.partial(clip_model.encode_image, cfg=cfg))
     feats = []
     for batch in images_iter:
-        feats.append(encode(params, images=jnp.asarray(batch)))
+        dev, n = _dp_batch(mesh, np.asarray(batch))
+        feats.append(encode(params, images=dev)[:n])
     out = jnp.concatenate(feats, axis=0).astype(jnp.float32)
     return clip_model.normalize(out)
 
@@ -170,7 +195,7 @@ class RetrievalTTA:
 
     def set_text_gallery(self, texts: Sequence[str]):
         """i2t: cache policy + reward text features for all captions."""
-        self.gallery_feats, _ = encode_text_gallery(self.clip_params, self.clip_cfg, texts)
+        self.gallery_feats, _ = encode_text_gallery(self.clip_params, self.clip_cfg, texts, mesh=self.mesh)
         tokens = tokenize(list(texts), truncate=True)
         self.reward_gallery_feats = self.reward.set_class_features(tokenized=tokens)
         self._maybe_shard_galleries()
@@ -179,7 +204,7 @@ class RetrievalTTA:
 
     def set_image_gallery(self, images_iter_policy, images_iter_reward):
         """t2i: cache policy + reward image features for all gallery images."""
-        self.gallery_feats = encode_image_gallery(self.clip_params, self.clip_cfg, images_iter_policy)
+        self.gallery_feats = encode_image_gallery(self.clip_params, self.clip_cfg, images_iter_policy, mesh=self.mesh)
         rfeats = []
         # params passed as a jit argument (closure capture would bake the
         # frozen tower into the executable)

@@ -530,3 +530,24 @@ def test_tp_opt_decode_quantized_matches_unsharded_quantized():
     seqs_b, _ = O.beam_generate(qparams, cfg, prefix, num_beams=2, max_new_tokens=5)
     seqs_t, _ = O.beam_generate(sharded, cfg, prefix, num_beams=2, max_new_tokens=5)
     np.testing.assert_array_equal(np.asarray(seqs_t), np.asarray(seqs_b))
+
+
+def test_gallery_precompute_dp_sharded_matches_unsharded():
+    """encode_text/image_gallery(mesh=): dp-sharded batch forwards, incl. the
+    ragged-tail pad path (batch not a dp multiple), match single-device."""
+    from rlcf_tpu.models import clip as C
+    from rlcf_tpu.tasks.retrieval import encode_image_gallery, encode_text_gallery
+
+    cfg = C.ClipConfig("gal-dp", 16, 32, 1, 32, 16, 32, 1, vision_heads_override=2, text_heads_override=2)
+    params = C.init_clip_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(8)
+
+    texts = [f"a photo number {i}" for i in range(13)]  # 13 % 8 != 0 -> pad path
+    base, _ = encode_text_gallery(params, cfg, texts, batch_size=5)
+    sharded, _ = encode_text_gallery(params, cfg, texts, batch_size=5, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(base), rtol=2e-5, atol=2e-6)
+
+    imgs = np.random.default_rng(0).normal(size=(11, 32, 32, 3)).astype(np.float32)
+    base_i = encode_image_gallery(params, cfg, [imgs[:6], imgs[6:]])
+    shard_i = encode_image_gallery(params, cfg, [imgs[:6], imgs[6:]], mesh=mesh)
+    np.testing.assert_allclose(np.asarray(shard_i), np.asarray(base_i), rtol=2e-5, atol=2e-6)
