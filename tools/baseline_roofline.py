@@ -89,5 +89,71 @@ def derive(verbose: bool = True) -> dict:
     return out
 
 
+def derive_matrix(verbose: bool = True) -> dict:
+    """Optimistic A100 bounds for the OTHER three pipelines (their scripts'
+    configs), same method as the flagship: the reference's own per-unit work
+    at generous per-phase eager-fp16 efficiencies + its serialized host terms.
+
+    Encoder (`rlcf-tune.sh`): text features are cached per dataset — per
+    image it is the 64-view selection fwd, 3x(6-view fwd+bwd through the
+    visual tower), the 6-view ViT-L reward fwd, a final 1-view fwd, and a
+    FULL visual-tower state_dict reload per sample (`tune_cls_rl.py` reset).
+
+    Retrieval (`tta_coco_ret.sh`): per query 8x(1-sample policy fwd+bwd) +
+    final fwd against cached gallery features; i2t drives the image tower
+    (single-image batches are launch-bound), t2i the text tower.
+
+    Caption (`tta_capdec_c2n.sh`): 4x(beam-6, 50 new tokens) + final beam-5
+    through OPT-125m via HF eager generate — bounded at 1.0 ms/token
+    (weight stream 0.125 ms @ 2 TB/s + ~100 kernel launches + beam host
+    logic; real HF eager measures several x higher) — plus the
+    reward-weighted CE fwd+bwd and the retokenize round-trips.
+    """
+    from rlcf_tpu.models import clip as C
+    from rlcf_tpu.utils.flops import text_tower_flops, vit_tower_flops
+
+    pcfg = C.get_config("ViT-B/16")
+    rcfg = C.get_config("ViT-L/14")
+    P = A100_FP16_PEAK
+
+    def ms(flops, eff):
+        return flops / (P * eff) * 1e3
+
+    out = {}
+    # --- encoder TTA (rlcf-tune.sh) ---
+    dev = (
+        ms(vit_tower_flops(pcfg, 64, 224), 0.50)
+        + ms(3 * 3 * vit_tower_flops(pcfg, 6, 224), 0.20)
+        + ms(vit_tower_flops(rcfg, 6, 224), 0.25)
+        + ms(vit_tower_flops(pcfg, 1, 224), 0.10)
+    )
+    host = 3.9 + 6.0 + 15.0  # H2D + 3x scaler syncs + 87M-param state_dict/opt reload
+    out["encoder_tta"] = {"ms_per_image_bound": round(dev + host, 1),
+                          "img_per_s_bound": round(1e3 / (dev + host), 2)}
+    # --- retrieval (tta_coco_ret.sh): 8 steps, batch-1 queries ---
+    i2t_dev = ms((8 * 3 + 1) * vit_tower_flops(pcfg, 1, 224), 0.10)  # launch-bound bs=1
+    t2i_dev = ms((8 * 3 + 1) * text_tower_flops(pcfg, 77), 0.30)
+    ret_host = 8 * 2.0 + 15.0  # per-step scaler syncs + per-query tower reset
+    out["retrieval_i2t"] = {"ms_per_query_bound": round(i2t_dev + ret_host, 1),
+                            "q_per_s_bound": round(1e3 / (i2t_dev + ret_host), 2)}
+    out["retrieval_t2i"] = {"ms_per_query_bound": round(t2i_dev + ret_host, 1),
+                            "q_per_s_bound": round(1e3 / (t2i_dev + ret_host), 2)}
+    # --- caption TTA (tta_capdec_c2n.sh) ---
+    gen_ms = 5 * 50 * 1.0          # 5 generations x 50 tokens x 1.0 ms/token bound
+    ce = 4 * 3 * 6 * 72 * 2 * 125e6  # 4 steps x fwd+bwd x 6 caps x ~72 tok x 2 FLOP/param
+    cap_dev = gen_ms + ms(ce, 0.30) + ms(vit_tower_flops(rcfg, 1, 224), 0.25) \
+        + ms(4 * text_tower_flops(rcfg, 6 * 77), 0.30)
+    cap_host = 4 * 5.0 + 5.0       # retokenize round-trips + mapper/opt reset
+    out["caption_tta"] = {"ms_per_image_bound": round(cap_dev + cap_host, 1),
+                          "img_per_s_bound": round(1e3 / (cap_dev + cap_host), 2)}
+    if verbose:
+        print(json.dumps(out, indent=2))
+    return out
+
+
 if __name__ == "__main__":
+    import sys
+
     derive()
+    if "--all" in sys.argv:
+        derive_matrix()
