@@ -389,6 +389,7 @@ def beam_generate(
     eos_id: Optional[int] = None,
     length_penalty: float = 1.0,
     num_return: Optional[int] = None,
+    seg_len: Optional[int] = None,
 ):
     """Beam search conditioned on ``prefix_embeds`` [B, P, D].
 
@@ -396,6 +397,13 @@ def beam_generate(
     token after EOS, scores [B, num_return]). EOS defaults to the newline
     token (`generate_opt.py:53`); hypotheses are ranked by
     score / length^length_penalty like HF beam search.
+
+    ``seg_len``: optional gen-cache segment bucketing — decode runs in
+    ``seg_len``-token segments whose per-beam cache holds only the slots
+    written so far (padded up segment by segment), so the beam reorder
+    gather and the generated-position attention read scale with the ELAPSED
+    tokens instead of ``max_new_tokens``. Outputs identical; compiles one
+    decode body per segment size. None = single full-size cache.
     """
     eos = cfg.eos_newline_id if eos_id is None else eos_id
     num_return = num_return or num_beams
@@ -407,7 +415,8 @@ def beam_generate(
     # positions get a per-beam cache — the only state beam reorder touches.
     K = num_beams
     logits0, prefix_cache = _prefill(params, cfg, prefix_embeds)  # [B, V]
-    gen_cache = _init_gen_cache(cfg, B * K, max_new_tokens, prefix_cache[0].dtype)
+    first_size = min(seg_len, max_new_tokens) if seg_len else max_new_tokens
+    gen_cache = _init_gen_cache(cfg, B * K, first_size, prefix_cache[0].dtype)
 
     # beam state
     seqs = jnp.full((B, K, max_new_tokens), cfg.pad_token_id, jnp.int32)
@@ -449,13 +458,31 @@ def beam_generate(
     # emitted EOS, further steps only append pad at no score cost — identical
     # results, and captions finish at ~10-20 of the 50-token budget (each
     # decode step streams all OPT weights, so steps are the cost unit)
-    def cond(carry):
-        step_idx, _, _, finished, _, _ = carry
-        return (step_idx < max_new_tokens) & ~jnp.all(finished)
+    def make_cond(bound):
+        def cond(carry):
+            step_idx, _, _, finished, _, _ = carry
+            return (step_idx < bound) & ~jnp.all(finished)
+
+        return cond
 
     init_logits = jnp.repeat(logits0, K, axis=0)  # [B*K, V]
     carry = (jnp.int32(0), seqs, beam_scores, finished, gen_cache, init_logits)
-    (_, seqs, beam_scores, finished, _, _) = jax.lax.while_loop(cond, step, carry)
+    if seg_len:
+        bounds, b = [], 0
+        while b < max_new_tokens:
+            b = min(b + seg_len, max_new_tokens)
+            bounds.append(b)
+        for i, bound in enumerate(bounds):
+            if i:  # grow the gen cache to the next segment's slot count
+                step_idx, seqs_c, bs, fin, (k_g, v_g), lg = carry
+                pad = [(0, 0), (0, 0), (0, 0), (0, bound - k_g.shape[3]), (0, 0)]
+                carry = (step_idx, seqs_c, bs, fin, (jnp.pad(k_g, pad), jnp.pad(v_g, pad)), lg)
+            carry = jax.lax.while_loop(make_cond(bound), step, carry)
+        (_, seqs, beam_scores, finished, _, _) = carry
+    else:
+        (_, seqs, beam_scores, finished, _, _) = jax.lax.while_loop(
+            make_cond(max_new_tokens), step, carry
+        )
 
     # rank by normalized score
     lengths = jnp.sum(seqs != cfg.pad_token_id, axis=-1).clip(1)

@@ -259,3 +259,17 @@ def test_int8_quantized_350m_forward_close(hf_tiny_350m):
     quant = np.asarray(O.forward(qparams, cfg, tokens=tokens))
     scale = np.maximum(np.abs(full).max(), 1e-3)
     assert np.max(np.abs(quant - full)) / scale < 0.03
+
+
+def test_beam_generate_segmented_cache_identical(hf_tiny):
+    """seg_len gen-cache bucketing changes traffic, not results."""
+    _, params, cfg = hf_tiny
+    rng = np.random.default_rng(6)
+    prefix = jnp.asarray(rng.normal(size=(2, 4, 32)).astype(np.float32) * 0.1)
+    base_s, base_sc = O.beam_generate(params, cfg, prefix, num_beams=3, max_new_tokens=11, num_return=3)
+    for seg in (4, 5, 11, 16):
+        seg_s, seg_sc = O.beam_generate(
+            params, cfg, prefix, num_beams=3, max_new_tokens=11, num_return=3, seg_len=seg
+        )
+        np.testing.assert_array_equal(np.asarray(seg_s), np.asarray(base_s))
+        np.testing.assert_allclose(np.asarray(seg_sc), np.asarray(base_sc), rtol=1e-6)

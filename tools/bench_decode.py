@@ -96,6 +96,13 @@ def main(argv=None):
     )
     beam_s, _ = timed(beam, params, prefix, iters=max(3, args.iters // 4))
 
+    # segment-bucketed gen cache (seg_len=16): reorder/attn traffic scales
+    # with elapsed tokens — identical outputs, A/B the wall clock
+    beam_seg = jax.jit(
+        lambda p, pe: O.beam_generate(p, cfg, pe, num_beams=K, max_new_tokens=G, num_return=K, seg_len=16)
+    )
+    beam_seg_s, _ = timed(beam_seg, params, prefix, iters=max(3, args.iters // 4))
+
     # actual weight-stream bytes (int8 leaves count 1 byte under --quant)
     bytes_per_step = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
     out = {
@@ -106,6 +113,7 @@ def main(argv=None):
         "reorder_ms": round(reorder_s * 1e3, 3),
         "beam_ms_per_tok": round(beam_s / G * 1e3, 3),
         "beam_total_ms": round(beam_s * 1e3, 1),
+        "beam_seg16_total_ms": round(beam_seg_s * 1e3, 1),
         "weight_stream_mb_per_tok": round(bytes_per_step / 1e6, 1),
         "hbm_bound_ms_per_tok_at_819GBps": round(bytes_per_step / 819e9 * 1e3, 3),
     }
