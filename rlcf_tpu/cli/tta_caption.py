@@ -30,6 +30,11 @@ def get_args(argv=None):
     p.add_argument("--weight_decay", type=float, default=5e-4)
     p.add_argument("--use_nucleus_sampling", type=int, default=0)
     p.add_argument(
+        "--decode_seg_len", type=int, default=0,
+        help="segment-bucketed beam gen cache (models/opt.py seg_len): "
+        "reorder/attention traffic scales with elapsed tokens; 0 = off",
+    )
+    p.add_argument(
         "--quantize_decode", type=int, default=0,
         help="int8 weight-only OPT decode (halves the per-token weight "
         "stream; generation-only — the CE/update path keeps full precision; "
@@ -162,6 +167,7 @@ def main(argv=None):
         momentum_update=bool(args.momentum_update), update_freq=args.update_freq,
         update_w=args.update_w, momentum=args.tta_momentum, mesh=mesh,
         quantize_decode=bool(args.quantize_decode),
+        decode_seg_len=args.decode_seg_len or None,
     )
 
     # Reference caption CLIs take --dataset_mode as an int selecting the eval

@@ -281,6 +281,7 @@ class CaptionTTA:
         token_pad_len: Optional[int] = None,
         mesh=None,
         quantize_decode: bool = False,
+        decode_seg_len = None,
     ):
         from ..core import policy as Po
 
@@ -349,7 +350,8 @@ class CaptionTTA:
                 del step_rng
                 prefix = prefix_tokens(mapper_params, ccfg, clip_emb)
                 seqs, _ = O.beam_generate(
-                    opt_params, ccfg.opt, prefix, num_beams=sample_k, max_new_tokens=max_new_tokens, num_return=sample_k
+                    opt_params, ccfg.opt, prefix, num_beams=sample_k, max_new_tokens=max_new_tokens,
+                    num_return=sample_k, seg_len=decode_seg_len,
                 )
                 return seqs  # [B, K, L]
 
@@ -357,7 +359,8 @@ class CaptionTTA:
         def generate_final(opt_params, mapper_params, clip_emb):
             prefix = prefix_tokens(mapper_params, ccfg, clip_emb)
             seqs, _ = O.beam_generate(
-                opt_params, ccfg.opt, prefix, num_beams=5, max_new_tokens=max_new_tokens, num_return=1
+                opt_params, ccfg.opt, prefix, num_beams=5, max_new_tokens=max_new_tokens,
+                num_return=1, seg_len=decode_seg_len,
             )
             return seqs[:, 0]
 
@@ -432,7 +435,8 @@ class CaptionTTA:
                     opt_params, ccfg.opt, prefixes, step_rng, num_captions=sample_k, max_new_tokens=max_new_tokens
                 )
             seqs, _ = O.beam_generate(
-                opt_params, ccfg.opt, prefixes, num_beams=sample_k, max_new_tokens=max_new_tokens, num_return=sample_k
+                opt_params, ccfg.opt, prefixes, num_beams=sample_k, max_new_tokens=max_new_tokens,
+                num_return=sample_k, seg_len=decode_seg_len,
             )
             return seqs
 
@@ -440,7 +444,8 @@ class CaptionTTA:
         def generate_final_batch(opt_params, mappers, clip_embs):
             prefixes = jax.vmap(lambda mp, e: prefix_tokens(mp, ccfg, e[None])[0])(mappers, clip_embs)
             seqs, _ = O.beam_generate(
-                opt_params, ccfg.opt, prefixes, num_beams=5, max_new_tokens=max_new_tokens, num_return=1
+                opt_params, ccfg.opt, prefixes, num_beams=5, max_new_tokens=max_new_tokens,
+                num_return=1, seg_len=decode_seg_len,
             )
             return seqs[:, 0]
 
