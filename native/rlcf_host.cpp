@@ -18,6 +18,18 @@
 #include <thread>
 #include <vector>
 
+// Optional image-codec section (JPEG via libjpeg, PNG via libpng): decode +
+// canonicalize in one native call so the host data loader never touches PIL
+// on the hot path. Compiled in when the build has the codec headers
+// (-DRLCF_WITH_CODECS -ljpeg -lpng); the Python side probes the symbols and
+// falls back to PIL per image otherwise.
+#if defined(RLCF_WITH_CODECS)
+#include <csetjmp>
+#include <cstdio>
+#include <jpeglib.h>
+#include <png.h>
+#endif
+
 namespace {
 
 constexpr float kClipMean[3] = {0.48145466f, 0.4578275f, 0.40821073f};
@@ -600,6 +612,106 @@ void generate_views_one(const uint8_t* image, int h, int w, int n_views, int res
 
 }  // namespace
 
+#if defined(RLCF_WITH_CODECS)
+namespace {
+
+// libjpeg aborts via error_exit; route it through longjmp so a corrupt file
+// returns an error code instead of killing the process.
+struct JpegErrMgr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+void jpeg_error_longjmp(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<JpegErrMgr*>(cinfo->err)->jb, 1);
+}
+
+// Decode JPEG bytes to interleaved u8 RGB (libjpeg converts grayscale/YCbCr;
+// exotic colorspaces error out and the caller falls back to PIL).
+int decode_jpeg_rgb(const uint8_t* data, unsigned long nbytes, ImageU8& out, bool dims_only,
+                    int* oh, int* ow) {
+  jpeg_decompress_struct cinfo;
+  JpegErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_error_longjmp;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(data), nbytes);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  *oh = static_cast<int>(cinfo.image_height);
+  *ow = static_cast<int>(cinfo.image_width);
+  if (dims_only) {
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  jpeg_start_decompress(&cinfo);
+  out.h = static_cast<int>(cinfo.output_height);
+  out.w = static_cast<int>(cinfo.output_width);
+  if (cinfo.output_components != 3) {  // JCS_RGB guarantees 3; belt and braces
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  out.data.resize(static_cast<size_t>(out.h) * out.w * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out.px(static_cast<int>(cinfo.output_scanline), 0);
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Decode PNG bytes to interleaved u8 RGB. Reads RGBA and strips alpha (what
+// PIL's convert("RGB") does — drop, not composite).
+int decode_png_rgb(const uint8_t* data, size_t nbytes, ImageU8& out, bool dims_only, int* oh,
+                   int* ow) {
+  png_image img;
+  std::memset(&img, 0, sizeof img);
+  img.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&img, data, nbytes)) return 1;
+  *oh = static_cast<int>(img.height);
+  *ow = static_cast<int>(img.width);
+  if (dims_only) {
+    png_image_free(&img);
+    return 0;
+  }
+  img.format = PNG_FORMAT_RGBA;
+  std::vector<uint8_t> rgba(static_cast<size_t>(img.height) * img.width * 4);
+  if (!png_image_finish_read(&img, nullptr, rgba.data(), 0, nullptr)) {
+    png_image_free(&img);
+    return 1;
+  }
+  out.h = *oh;
+  out.w = *ow;
+  out.data.resize(static_cast<size_t>(out.h) * out.w * 3);
+  const uint8_t* s = rgba.data();
+  uint8_t* d = out.data.data();
+  for (size_t i = 0, n = static_cast<size_t>(out.h) * out.w; i < n; ++i, s += 4, d += 3) {
+    d[0] = s[0];
+    d[1] = s[1];
+    d[2] = s[2];
+  }
+  return 0;
+}
+
+// Container sniff by magic bytes. Returns 2 for "not a JPEG/PNG" so the
+// Python caller can distinguish unsupported-container from decode failure.
+int decode_any(const uint8_t* data, unsigned long nbytes, ImageU8& out, bool dims_only, int* h,
+               int* w) {
+  if (nbytes >= 3 && data[0] == 0xFF && data[1] == 0xD8 && data[2] == 0xFF)
+    return decode_jpeg_rgb(data, nbytes, out, dims_only, h, w);
+  if (nbytes >= 8 && data[0] == 0x89 && data[1] == 'P' && data[2] == 'N' && data[3] == 'G')
+    return decode_png_rgb(data, nbytes, out, dims_only, h, w);
+  return 2;
+}
+
+}  // namespace
+#endif  // RLCF_WITH_CODECS
+
 extern "C" {
 
 // Batch API: images [N, H, W, 3] u8 -> out [N, n_views, R, R, 3] f32.
@@ -708,6 +820,57 @@ void rlcf_preprocess_batch(const uint8_t* images, int n, int h, int w, int resol
   for (int t = 0; t < std::min(n_threads, n); ++t) threads.emplace_back(worker);
   for (auto& t : threads) t.join();
 }
+
+#if defined(RLCF_WITH_CODECS)
+
+// Report decoded dimensions without decoding pixels (caller sizes buffers).
+// Returns 0 ok, 1 decode error, 2 unsupported container.
+int rlcf_decode_dims(const uint8_t* data, long nbytes, int* h, int* w) {
+  ImageU8 dummy;
+  return decode_any(data, static_cast<unsigned long>(nbytes), dummy, true, h, w);
+}
+
+// Full-size decode to interleaved u8 RGB ([h, w, 3], buffer from
+// rlcf_decode_dims). Same return codes as rlcf_decode_dims.
+int rlcf_decode_rgb(const uint8_t* data, long nbytes, uint8_t* out) {
+  ImageU8 img;
+  int h = 0, w = 0;
+  const int rc = decode_any(data, static_cast<unsigned long>(nbytes), img, false, &h, &w);
+  if (rc) return rc;
+  std::memcpy(out, img.data.data(), img.data.size());
+  return 0;
+}
+
+// Decode + bicubic short-side resize + center crop -> [size, size, 3] u8:
+// the episode stream's canonical source, produced in one native call (the
+// composition of transforms.load_image + resize_short_side_pil + center_crop
+// — same kernel as PIL bicubic incl. antialias, half-to-even dim rounding
+// matching Python round()).
+int rlcf_load_canonical(const uint8_t* data, long nbytes, int size, uint8_t* out) {
+  ImageU8 img;
+  int h = 0, w = 0;
+  const int rc = decode_any(data, static_cast<unsigned long>(nbytes), img, false, &h, &w);
+  if (rc) return rc;
+  int new_h, new_w;
+  if (h < w) {
+    new_h = size;
+    new_w = std::max(size, static_cast<int>(std::nearbyint(static_cast<double>(w) * size / h)));
+  } else {
+    new_w = size;
+    new_h = std::max(size, static_cast<int>(std::nearbyint(static_cast<double>(h) * size / w)));
+  }
+  ImageU8 resized;
+  resize_box(img, resized, 0.0f, 0.0f, static_cast<float>(w), static_cast<float>(h), new_w,
+             new_h, 2);
+  const int top = (new_h - size) / 2;
+  const int left = (new_w - size) / 2;
+  for (int y = 0; y < size; ++y)
+    std::memcpy(out + static_cast<size_t>(y) * size * 3, resized.px(top + y, left),
+                static_cast<size_t>(size) * 3);
+  return 0;
+}
+
+#endif  // RLCF_WITH_CODECS
 
 int rlcf_native_version() { return 1; }
 }

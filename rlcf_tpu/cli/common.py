@@ -79,6 +79,16 @@ def add_run_args(p: argparse.ArgumentParser):
     p.add_argument("--print_freq", "-p", type=int, default=500)
     p.add_argument("--corruption", default="defocus_blur")
     p.add_argument("--level", default="5")
+    p.add_argument(
+        "--decode", default="pil", choices=["pil", "native"],
+        help="image loader: 'native' = threaded C++ JPEG/PNG decode + canonicalize "
+        "(bit-identical decode, resize within ~±2 gray of PIL on ~0.03%% of pixels); "
+        "'pil' preserves exact PIL preprocessing",
+    )
+    p.add_argument(
+        "--decode_workers", type=int, default=0,
+        help="decode threads for --decode native (0 = auto: min(8, cpus))",
+    )
 
 
 def load_policy(args):

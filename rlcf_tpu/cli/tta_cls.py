@@ -68,7 +68,7 @@ def main(argv=None):
     from ..core.prompt import load_coop_ctx
     from ..data.augment import make_view_generator
     from ..data.class_names import get_classnames
-    from ..data.datasets import PrefetchIterator, build_dataset, iter_raw
+    from ..data.datasets import PrefetchIterator, build_dataset, iter_canonical
     from ..metrics.classification import AccuracyMeter
     from ..tasks.classification import PromptTTAClassifier
     from ..utils.config import save_hparams
@@ -206,7 +206,7 @@ def main(argv=None):
         def flush():
             if not group_imgs:
                 return
-            imgs = np.stack([_to_canonical(im, 256) for im in group_imgs])
+            imgs = np.stack(group_imgs)  # already canonical [256, 256, 3] u8
             if args.viewgen == "fused":  # all viewgen on device, in one kernel
                 from ..ops.pallas_augmix import fused_views, fused_views_sharded
 
@@ -260,7 +260,10 @@ def main(argv=None):
             group_labels.clear()
 
         seen = 0
-        for img, label in PrefetchIterator(iter_raw(dataset, seed=args.seed, limit=args.limit)):
+        for img, label in PrefetchIterator(
+            iter_canonical(dataset, 256, seed=args.seed, limit=args.limit,
+                           workers=args.decode_workers, decode=args.decode)
+        ):
             seen += 1
             if seen <= skip:
                 continue

@@ -15,7 +15,6 @@ import argparse
 import numpy as np
 
 from . import common
-from .tta_cls import _to_canonical
 
 
 def get_args(argv=None):
@@ -50,7 +49,7 @@ def main(argv=None):
     from ..core.episode import EpisodeConfig
     from ..data.augment import make_view_generator
     from ..data.class_names import get_classnames
-    from ..data.datasets import PrefetchIterator, build_dataset, iter_raw
+    from ..data.datasets import PrefetchIterator, build_dataset, iter_canonical
     from ..metrics.classification import AccuracyMeter
     from ..tasks.classification import EncoderTTAClassifier
     from ..utils.config import save_hparams
@@ -97,8 +96,11 @@ def main(argv=None):
         meter = AccuracyMeter()
         group, labels = [], []
         counter = 0
-        for img, label in PrefetchIterator(iter_raw(dataset, seed=args.seed, limit=args.limit)):
-            group.append(_to_canonical(img, 256))
+        for img, label in PrefetchIterator(
+            iter_canonical(dataset, 256, seed=args.seed, limit=args.limit,
+                           workers=args.decode_workers, decode=args.decode)
+        ):
+            group.append(img)
             labels.append(label)
             if len(group) == args.episode_group:
                 keys = jax.random.split(jax.random.PRNGKey(args.seed * 7 + counter), len(group))

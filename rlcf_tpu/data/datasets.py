@@ -80,6 +80,10 @@ class ImageFolderDataset:
         path, label = self.samples[idx]
         return load_image(path), label
 
+    def sample_ref(self, idx) -> Tuple[str, int]:
+        """(absolute file path, label) without decoding — for native loaders."""
+        return self.samples[idx]
+
 
 class JsonSplitDataset:
     """Zhou-split JSON dataset: {"train"|"val"|"test": [[path, label, name], ...]}."""
@@ -108,6 +112,10 @@ class JsonSplitDataset:
         rel, label = self.samples[idx]
         return load_image(os.path.join(self.image_root, rel)), label
 
+    def sample_ref(self, idx) -> Tuple[str, int]:
+        rel, label = self.samples[idx]
+        return os.path.join(self.image_root, rel), label
+
 
 class AircraftDataset:
     """FGVC-Aircraft test split from images_variant_test.txt (`TPT/data/fewshot_datasets.py:87`)."""
@@ -133,6 +141,10 @@ class AircraftDataset:
     def __getitem__(self, idx):
         rel, label = self.samples[idx]
         return load_image(os.path.join(self.image_root, rel)), label
+
+    def sample_ref(self, idx) -> Tuple[str, int]:
+        rel, label = self.samples[idx]
+        return os.path.join(self.image_root, rel), label
 
 
 class BongardHOIDataset:
@@ -305,6 +317,80 @@ def iter_raw(
         order = order[:limit]
     for i in order:
         yield dataset[i]
+
+
+def iter_canonical(
+    dataset,
+    size: int = 256,
+    shuffle: bool = True,
+    seed: int = 0,
+    limit: Optional[int] = None,
+    workers: int = 0,
+    decode: str = "pil",
+) -> Iterator[Tuple[np.ndarray, int]]:
+    """Yield (canonical [size, size, 3] u8, label) for the episode stream.
+
+    Same order as ``iter_raw(shuffle, seed, limit)``; the bicubic short-side
+    resize + center crop happens at decode time instead of on the consumer
+    thread. ``decode="native"`` runs file-bytes -> canonical square in one
+    C++ call (JPEG/PNG; `native/rlcf_host.cpp::rlcf_load_canonical`) that
+    releases the GIL, so ``workers`` threads get real decode parallelism —
+    the role of the reference's DataLoader worker processes
+    (`TPT/tpt_cls_rl.py:214-220`). Decode is bit-identical to PIL; the native
+    resize is the AugMix pipeline's kernel (within ~±2 gray of PIL bicubic on
+    ~0.03% of pixels). Anything the native path can't handle (synthetic
+    datasets, exotic formats, corrupt files) falls back to PIL per image.
+    """
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    if limit is not None:
+        order = order[:limit]
+
+    from .transforms import center_crop, resize_short_side_pil
+
+    use_native = False
+    if decode == "native":
+        try:
+            from .native import decode_available, load_canonical_native
+
+            use_native = decode_available()
+        except Exception:
+            use_native = False
+    sample_ref = getattr(dataset, "sample_ref", None)
+
+    def load_one(i) -> Tuple[np.ndarray, int]:
+        i = int(i)
+        if use_native and sample_ref is not None:
+            path, label = sample_ref(i)
+            if path.lower().endswith((".jpg", ".jpeg", ".png")):
+                with open(path, "rb") as fh:
+                    arr = load_canonical_native(fh.read(), size)
+                if arr is not None:
+                    return arr, label
+        img, label = dataset[i]
+        return center_crop(resize_short_side_pil(img, size), size), label
+
+    if workers == 0:
+        workers = min(8, os.cpu_count() or 1) if use_native else 1
+    if workers <= 1:
+        for i in order:
+            yield load_one(i)
+        return
+
+    # Bounded-window thread pool: at most 2*workers decoded images in flight,
+    # results yielded in order.
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        pending: deque = deque()
+        for i in order:
+            pending.append(ex.submit(load_one, i))
+            if len(pending) >= 2 * workers:
+                yield pending.popleft().result()
+        while pending:
+            yield pending.popleft().result()
 
 
 class PrefetchIterator:

@@ -23,8 +23,14 @@ def _build():
     src = os.path.join(_NATIVE_DIR, "rlcf_host.cpp")
     if not os.path.exists(src):
         raise RuntimeError(f"native source not found at {src}")
-    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared", "-pthread", "-o", _LIB_PATH, src]
-    subprocess.run(cmd, check=True, capture_output=True)
+    base = ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared", "-pthread"]
+    # Preferred build includes the JPEG/PNG decode path; hosts without the
+    # codec dev headers get the codec-free library (decode falls back to PIL).
+    with_codecs = base + ["-DRLCF_WITH_CODECS", "-o", _LIB_PATH, src, "-ljpeg", "-lpng"]
+    try:
+        subprocess.run(with_codecs, check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        subprocess.run(base + ["-o", _LIB_PATH, src], check=True, capture_output=True)
 
 
 @functools.lru_cache()
@@ -54,6 +60,14 @@ def _lib():
         u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p, ctypes.c_int,
     ]
     lib.rlcf_native_version.restype = ctypes.c_int
+    if hasattr(lib, "rlcf_load_canonical"):
+        intp = ctypes.POINTER(ctypes.c_int)
+        lib.rlcf_decode_dims.argtypes = [ctypes.c_char_p, ctypes.c_long, intp, intp]
+        lib.rlcf_decode_dims.restype = ctypes.c_int
+        lib.rlcf_decode_rgb.argtypes = [ctypes.c_char_p, ctypes.c_long, u8p]
+        lib.rlcf_decode_rgb.restype = ctypes.c_int
+        lib.rlcf_load_canonical.argtypes = [ctypes.c_char_p, ctypes.c_long, ctypes.c_int, u8p]
+        lib.rlcf_load_canonical.restype = ctypes.c_int
     return lib
 
 
@@ -150,6 +164,46 @@ def generate_views_native_patch_u8(
     if rc != 0:
         raise ValueError("native patch view generation rejected the patch/resolution combination")
     return (out1, out2) if p_reward else out1
+
+
+def decode_available() -> bool:
+    """True when the library was built with the JPEG/PNG codec path."""
+    try:
+        return hasattr(_lib(), "rlcf_load_canonical")
+    except Exception:
+        return False
+
+
+def decode_rgb_native(data: bytes):
+    """Decode JPEG/PNG bytes to a full-size uint8 HWC RGB array.
+
+    Returns None when the container/colorspace is unsupported or the file is
+    corrupt — the caller falls back to PIL (`transforms.load_image`).
+    """
+    lib = _lib()
+    h, w = ctypes.c_int(), ctypes.c_int()
+    if lib.rlcf_decode_dims(data, len(data), ctypes.byref(h), ctypes.byref(w)) != 0:
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    if lib.rlcf_decode_rgb(data, len(data), out) != 0:
+        return None
+    return out
+
+
+def load_canonical_native(data: bytes, size: int):
+    """Decode + bicubic short-side resize + center crop -> [size, size, 3] u8.
+
+    One native call for the episode stream's canonical source (what
+    `load_image` + `resize_short_side_pil` + `center_crop` compose to); the
+    ctypes call releases the GIL, so a Python thread pool gets real decode
+    parallelism. Returns None on unsupported/corrupt input (caller falls back
+    to the PIL path).
+    """
+    lib = _lib()
+    out = np.empty((size, size, 3), np.uint8)
+    if lib.rlcf_load_canonical(data, len(data), size, out) != 0:
+        return None
+    return out
 
 
 def preprocess_native(images: np.ndarray, resolution: int = 224, n_threads: int = 0) -> np.ndarray:
