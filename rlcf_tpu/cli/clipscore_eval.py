@@ -28,6 +28,9 @@ def get_args(argv=None):
     p.add_argument("--clip_checkpoint", default=None)
     p.add_argument("--resolution", type=int, default=224)
     p.add_argument("--precision", default="fp32")
+    from . import common
+
+    common.add_decode_args(p)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -35,7 +38,7 @@ def get_args(argv=None):
 def main(argv=None):
     args = get_args(argv)
     from . import common
-    from ..data.transforms import preprocess_pil
+    from ..data.transforms import preprocess_many
     from ..metrics.caption_metrics import get_all_metrics
     from ..metrics.clipscore import evaluate_captions
 
@@ -54,14 +57,12 @@ def main(argv=None):
         raise FileNotFoundError(base)
 
     def images_iter(batch=32):
-        buf = []
-        for i in image_ids:
-            buf.append(preprocess_pil(resolve(i), args.resolution))
-            if len(buf) == batch:
-                yield np.stack(buf)
-                buf = []
-        if buf:
-            yield np.stack(buf)
+        paths = [resolve(i) for i in image_ids]
+        for s0 in range(0, len(paths), batch):
+            yield np.stack(preprocess_many(
+                paths[s0 : s0 + batch], args.resolution,
+                decode=args.decode, workers=args.decode_workers,
+            ))
 
     references = None
     if args.references_json:

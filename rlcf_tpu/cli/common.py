@@ -79,6 +79,10 @@ def add_run_args(p: argparse.ArgumentParser):
     p.add_argument("--print_freq", "-p", type=int, default=500)
     p.add_argument("--corruption", default="defocus_blur")
     p.add_argument("--level", default="5")
+    add_decode_args(p)
+
+
+def add_decode_args(p: argparse.ArgumentParser):
     p.add_argument(
         "--decode", default="pil", choices=["pil", "native"],
         help="image loader: 'native' = threaded C++ JPEG/PNG decode + canonicalize "

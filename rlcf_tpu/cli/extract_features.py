@@ -31,6 +31,7 @@ def get_args(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--limit", type=int, default=None)
+    common.add_decode_args(p)
     p.add_argument(
         "--shard_size", type=int, default=0,
         help="captions per output shard; >0 streams shards with bounded "
@@ -53,7 +54,7 @@ def _extract_sharded(args, params, cfg, ann, captions, image_for_caption):
     import jax.numpy as jnp
 
     from ..data.sharded_embeddings import ShardWriter
-    from ..data.transforms import preprocess_pil
+    from ..data.transforms import preprocess_many
     from ..models import clip as clip_model
     from ..tokenizer import tokenize as clip_tokenize
     from ..tokenizer_gpt2 import load_gpt2_tokenizer
@@ -67,9 +68,10 @@ def _extract_sharded(args, params, cfg, ann, captions, image_for_caption):
         missing = [p for p in dict.fromkeys(paths) if p not in img_cache]
         for s in range(0, len(missing), 32):
             batch = missing[s : s + 32]
-            imgs = np.stack(
-                [preprocess_pil(os.path.join(args.images_root, p), args.resolution) for p in batch]
-            )
+            imgs = np.stack(preprocess_many(
+                [os.path.join(args.images_root, p) for p in batch],
+                args.resolution, decode=args.decode, workers=args.decode_workers,
+            ))
             feats = np.asarray(encode_i(params, images=jnp.asarray(imgs)))
             for p, f in zip(batch, feats):
                 img_cache[p] = f
@@ -112,7 +114,7 @@ def _extract_sharded(args, params, cfg, ann, captions, image_for_caption):
 def main(argv=None):
     args = get_args(argv)
     common.enable_cache()
-    from ..data.transforms import preprocess_pil
+    from ..data.transforms import preprocess_many
     from ..tasks.caption import extract_clip_features
     from ..tokenizer_gpt2 import load_gpt2_tokenizer
 
@@ -134,14 +136,12 @@ def main(argv=None):
 
     if args.images_root:
         def images_iter(batch=32):
-            buf = []
-            for a in ann:
-                buf.append(preprocess_pil(os.path.join(args.images_root, a["image"]), args.resolution))
-                if len(buf) == batch:
-                    yield np.stack(buf)
-                    buf = []
-            if buf:
-                yield np.stack(buf)
+            paths = [os.path.join(args.images_root, a["image"]) for a in ann]
+            for s0 in range(0, len(paths), batch):
+                yield np.stack(preprocess_many(
+                    paths[s0 : s0 + batch], args.resolution,
+                    decode=args.decode, workers=args.decode_workers,
+                ))
 
         img_out = extract_clip_features(params, cfg, images_iter=images_iter())
         image_index = {a["image"]: i for i, a in enumerate(ann)}

@@ -188,7 +188,7 @@ def main(argv=None):
             for i in range(n)
         ]
     else:
-        from ..data.transforms import preprocess_pil
+        from ..data.transforms import preprocess_many
 
         with open(args.annotations) as fh:
             ann = json.load(fh)
@@ -207,10 +207,13 @@ def main(argv=None):
                 return a["image_id"]
             return img
 
+        imgs = preprocess_many(
+            [os.path.join(args.images_root, a["image"]) for a in ann[: args.limit]],
+            args.resolution, decode=args.decode, workers=args.decode_workers,
+        )
         samples = [
-            (entry_id(a), os.path.basename(a["image"]) if dmode >= 0 else a["image"],
-             preprocess_pil(os.path.join(args.images_root, a["image"]), args.resolution))
-            for a in ann[: args.limit]
+            (entry_id(a), os.path.basename(a["image"]) if dmode >= 0 else a["image"], im)
+            for a, im in zip(ann[: args.limit], imgs)
         ]
 
     encode_img = jax.jit(lambda p, x: clip_model.encode_image(p, clip_cfg, x))

@@ -78,7 +78,7 @@ def main(argv=None):
     args = get_args(argv)
     common.enable_cache()
     from ..core.episode import EpisodeConfig
-    from ..data.transforms import preprocess_pil
+    from ..data.transforms import preprocess, preprocess_many
     from ..metrics.retrieval import retrieval_metrics
     from ..tasks.retrieval import RetrievalTTA, load_karpathy_annotations
     from ..tokenizer import tokenize
@@ -105,14 +105,12 @@ def main(argv=None):
         gallery = load_karpathy_annotations(args.annotations, args.vis_root)
 
         def image_batches(batch=32):
-            buf = []
-            for path in gallery.image_paths:
-                buf.append(preprocess_pil(path, args.resolution))
-                if len(buf) == batch:
-                    yield np.stack(buf)
-                    buf = []
-            if buf:
-                yield np.stack(buf)
+            paths = gallery.image_paths
+            for s0 in range(0, len(paths), batch):
+                yield np.stack(preprocess_many(
+                    paths[s0 : s0 + batch], args.resolution,
+                    decode=args.decode, workers=args.decode_workers,
+                ))
 
         images = None
 
@@ -138,7 +136,7 @@ def main(argv=None):
     if args.retrieval_task in ("image2text", "both"):
         ecfg_i2t = _dc.replace(ecfg, sample_k=args.sample_k_i2t if args.sample_k_i2t is not None else args.sample_k)
         tta = RetrievalTTA(params, cfg, reward, ecfg_i2t, direction="i2t", **momentum_kw).set_text_gallery(gallery.texts)
-        queries = iter(images) if args.synthetic else (preprocess_pil(p, args.resolution) for p in gallery.image_paths)
+        queries = iter(images) if args.synthetic else (preprocess(p, args.resolution, decode=args.decode) for p in gallery.image_paths)
         scores_i2t = tta.run(queries, n_img, n_txt, group_size=args.group_size)
     if args.retrieval_task in ("text2image", "both"):
         ecfg_t2i = _dc.replace(ecfg, sample_k=args.sample_k_t2i if args.sample_k_t2i is not None else args.sample_k)

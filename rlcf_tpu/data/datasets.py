@@ -289,17 +289,33 @@ def iter_batches(
     shuffle: bool = True,
     seed: int = 0,
     limit: Optional[int] = None,
+    decode: str = "pil",
+    workers: int = 0,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """Yield (images [B,R,R,3] float32, labels [B]) with host preprocessing."""
+    """Yield (images [B,R,R,3] float32, labels [B]) with host preprocessing.
+
+    ``decode="native"`` threads file-path batches through the C++ decode+
+    canonicalize call (datasets without paths fall back to PIL per image).
+    """
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
     if limit is not None:
         order = order[:limit]
+    sample_ref = getattr(dataset, "sample_ref", None) if decode == "native" else None
     for start in range(0, len(order), batch_size):
         idxs = order[start : start + batch_size]
-        imgs = np.stack([preprocess_pil(dataset[i][0], resolution) for i in idxs])
-        labels = np.array([dataset[i][1] for i in idxs], dtype=np.int32)
+        if sample_ref is not None:
+            from .transforms import preprocess_many
+
+            refs = [sample_ref(int(i)) for i in idxs]
+            imgs = np.stack(preprocess_many(
+                [r[0] for r in refs], resolution, decode="native", workers=workers
+            ))
+            labels = np.array([r[1] for r in refs], dtype=np.int32)
+        else:
+            imgs = np.stack([preprocess_pil(dataset[i][0], resolution) for i in idxs])
+            labels = np.array([dataset[i][1] for i in idxs], dtype=np.int32)
         yield imgs, labels
 
 

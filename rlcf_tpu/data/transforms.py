@@ -12,6 +12,8 @@ Two implementations:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], dtype=np.float32)
@@ -56,6 +58,51 @@ def preprocess_pil(path_or_array, resolution: int = 224) -> np.ndarray:
     img = resize_short_side_pil(img, resolution)
     img = center_crop(img, resolution)
     return normalize(img)
+
+
+def preprocess(path_or_array, resolution: int = 224, decode: str = "pil") -> np.ndarray:
+    """`preprocess_pil` with an optional native decode+resize fast path.
+
+    ``decode="native"`` routes JPEG/PNG files through one GIL-releasing C++
+    call (decode bit-identical to PIL; bicubic resize within tolerance — see
+    `native/rlcf_host.cpp::rlcf_load_canonical`), falling back to PIL for
+    arrays, other formats, or when the library lacks the codec build.
+    """
+    if (
+        decode == "native"
+        and isinstance(path_or_array, str)
+        and path_or_array.lower().endswith((".jpg", ".jpeg", ".png"))
+    ):
+        try:
+            from .native import decode_available, load_canonical_native
+
+            if decode_available():
+                with open(path_or_array, "rb") as fh:
+                    arr = load_canonical_native(fh.read(), resolution)
+                if arr is not None:
+                    return normalize(arr)
+        except Exception:
+            pass
+    return preprocess_pil(path_or_array, resolution)
+
+
+def preprocess_many(items, resolution: int = 224, decode: str = "pil", workers: int = 0):
+    """Preprocess a list of paths/arrays, threading the native decode path.
+
+    The native call releases the GIL, so a thread pool gets real decode
+    parallelism (the reference's DataLoader-worker role). Order preserved.
+    """
+    items = list(items)
+    if decode != "native" or len(items) <= 1:
+        return [preprocess(i, resolution, decode) for i in items]
+    if workers == 0:
+        workers = min(8, os.cpu_count() or 1)
+    if workers <= 1:
+        return [preprocess(i, resolution, "native") for i in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(workers, len(items))) as ex:
+        return list(ex.map(lambda i: preprocess(i, resolution, "native"), items))
 
 
 def preprocess_device(img, resolution: int = 224):

@@ -109,6 +109,7 @@ def zero_shot_eval(
     resolution: int = 224,
     limit: Optional[int] = None,
     seed: int = 0,
+    decode: str = "pil",
 ) -> dict:
     """Zero-shot top-1/top-5 over a dataset loader."""
     from ..data.datasets import iter_batches
@@ -116,7 +117,7 @@ def zero_shot_eval(
     class_feats = compute_class_features(params, cfg, classnames, prompt_prefix)
     step = jax.jit(functools.partial(classify_logits, cfg=cfg))
     meter = AccuracyMeter()
-    for images, labels in iter_batches(dataset, batch_size, resolution, shuffle=True, seed=seed, limit=limit):
+    for images, labels in iter_batches(dataset, batch_size, resolution, shuffle=True, seed=seed, limit=limit, decode=decode):
         logits = step(params, images=jnp.asarray(images), class_features=class_feats)
         meter.update(np.asarray(logits), labels)
     return meter.summary()
@@ -131,6 +132,7 @@ def zero_shot_eval_ensemble(
     resolution: int = 224,
     limit: Optional[int] = None,
     seed: int = 0,
+    decode: str = "pil",
 ) -> dict:
     """Logit-averaged multi-architecture ensemble (`custom_clip.py:555-566`)."""
     from ..data.datasets import iter_batches
@@ -146,7 +148,7 @@ def zero_shot_eval_ensemble(
         return jnp.mean(jnp.stack(logits), axis=0)
 
     meter = AccuracyMeter()
-    for images, labels in iter_batches(dataset, batch_size, resolution, shuffle=True, seed=seed, limit=limit):
+    for images, labels in iter_batches(dataset, batch_size, resolution, shuffle=True, seed=seed, limit=limit, decode=decode):
         logits = step(jnp.asarray(images), *feats)
         meter.update(np.asarray(logits), labels)
     return meter.summary()

@@ -129,6 +129,20 @@ def test_iter_canonical_native_matches_pil_order_and_labels(tmp_path):
         assert d.mean() < 1.0
 
 
+def test_iter_batches_native_matches_pil(tmp_path):
+    from rlcf_tpu.data.datasets import ImageFolderDataset, iter_batches
+
+    _make_image_folder(str(tmp_path), n_per_class=2)
+    ds = ImageFolderDataset(str(tmp_path))
+    pil = list(iter_batches(ds, batch_size=3, resolution=48, seed=1))
+    nat = list(iter_batches(ds, batch_size=3, resolution=48, seed=1, decode="native", workers=2))
+    assert len(pil) == len(nat)
+    for (ia, la), (ib, lb) in zip(pil, nat):
+        np.testing.assert_array_equal(la, lb)
+        # float CLIP-normalized space: 1 gray ~ 0.015; mean within that
+        assert np.abs(ia - ib).mean() < 0.015
+
+
 def test_iter_canonical_falls_back_without_sample_ref():
     from rlcf_tpu.data.datasets import SyntheticDataset, iter_canonical
 
