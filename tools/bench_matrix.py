@@ -355,7 +355,7 @@ def _byte_level_tokenizer():
     return Gpt2Tokenizer(os.path.join(d, "vocab.json"), os.path.join(d, "merges.txt"))
 
 
-def bench_caption_tta(quick=False, group=None):
+def bench_caption_tta(quick=False, group=None, quantize_decode=False, seg_len=None):
     import jax
     import jax.numpy as jnp
     from rlcf_tpu.models import clip as C
@@ -382,7 +382,8 @@ def bench_caption_tta(quick=False, group=None):
     params = init_caption_params(jax.random.PRNGKey(0), ccfg, dtype=jnp.bfloat16)
     tok = _byte_level_tokenizer()
     tta = CaptionTTA(params, ccfg, reward, tok, tta_steps=steps, sample_k=sample_k,
-                     max_new_tokens=max_new)
+                     max_new_tokens=max_new, quantize_decode=quantize_decode,
+                     decode_seg_len=seg_len)
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.normal(size=(group, 224, 224, 3)).astype(np.float32))
@@ -437,8 +438,17 @@ def main(argv=None):
         "retrieval_i2t": lambda: bench_retrieval("i2t", args.quick),
         "retrieval_t2i": lambda: bench_retrieval("t2i", args.quick),
         "caption_tta": lambda: bench_caption_tta(args.quick, group=args.caption_group),
-        # opt-in (not in the default matrix): CPU-mesh tp A/B and the
-        # encoder remat-policy A/B arm (saved attention outputs)
+        # opt-in (not in the default matrix): CPU-mesh tp A/B, the encoder
+        # remat-policy A/B arm (saved attention outputs), int8 weight-only
+        # decode, and the segment-bucketed beam cache
+        "caption_tta_int8": lambda: {
+            **bench_caption_tta(args.quick, group=args.caption_group, quantize_decode=True),
+            "pipeline": "caption_tta_int8",
+        },
+        "caption_tta_seg16": lambda: {
+            **bench_caption_tta(args.quick, group=args.caption_group, seg_len=16),
+            "pipeline": "caption_tta_seg16",
+        },
         "retrieval_tp_ab": lambda: bench_retrieval_tp_ab(args.quick),
         "encoder_tta_save_attn": lambda: {
             **bench_encoder_tta(args.quick, remat="save_attn"),
@@ -448,6 +458,8 @@ def main(argv=None):
     if not args.only:
         benches.pop("retrieval_tp_ab")
         benches.pop("encoder_tta_save_attn")
+        benches.pop("caption_tta_int8")
+        benches.pop("caption_tta_seg16")
     if args.only:
         keep = set(args.only.split(","))
         unknown = keep - benches.keys()
