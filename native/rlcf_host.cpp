@@ -626,6 +626,11 @@ void jpeg_error_longjmp(j_common_ptr cinfo) {
   longjmp(reinterpret_cast<JpegErrMgr*>(cinfo->err)->jb, 1);
 }
 
+// Corrupt-data warnings: counted (the default emit_message's job), not printed.
+void jpeg_emit_silent(j_common_ptr cinfo, int msg_level) {
+  if (msg_level < 0) cinfo->err->num_warnings++;
+}
+
 // Decode JPEG bytes to interleaved u8 RGB (libjpeg converts grayscale/YCbCr;
 // exotic colorspaces error out and the caller falls back to PIL).
 int decode_jpeg_rgb(const uint8_t* data, unsigned long nbytes, ImageU8& out, bool dims_only,
@@ -634,6 +639,7 @@ int decode_jpeg_rgb(const uint8_t* data, unsigned long nbytes, ImageU8& out, boo
   JpegErrMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = jpeg_error_longjmp;
+  jerr.mgr.emit_message = jpeg_emit_silent;
   if (setjmp(jerr.jb)) {
     jpeg_destroy_decompress(&cinfo);
     return 1;
@@ -661,8 +667,12 @@ int decode_jpeg_rgb(const uint8_t* data, unsigned long nbytes, ImageU8& out, boo
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
+  // libjpeg "recovers" from truncated/corrupt streams by gray-padding and
+  // counting a warning; PIL raises instead. Treat any warning as a decode
+  // failure so the caller falls back to PIL's (loud) behavior.
+  const bool corrupt = jerr.mgr.num_warnings > 0;
   jpeg_destroy_decompress(&cinfo);
-  return 0;
+  return corrupt ? 1 : 0;
 }
 
 // Decode PNG bytes to interleaved u8 RGB. Reads RGBA and strips alpha (what

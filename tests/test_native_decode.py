@@ -84,6 +84,17 @@ def test_unsupported_container_returns_none():
     assert native.load_canonical_native(b"GIF89a....", 64) is None
 
 
+def test_truncated_jpeg_and_cmyk_fall_back():
+    img = _rand_img(40, 50, seed=9)
+    data = _encode(img, "JPEG", quality=90)
+    # libjpeg would gray-pad a truncated stream; we must refuse (PIL raises)
+    assert native.decode_rgb_native(data[: len(data) // 2]) is None
+    # CMYK colorspace -> unsupported by the JCS_RGB fast path -> PIL fallback
+    buf = io.BytesIO()
+    Image.fromarray(img).convert("CMYK").save(buf, format="JPEG", quality=90)
+    assert native.decode_rgb_native(buf.getvalue()) is None
+
+
 @pytest.mark.parametrize("shape", [(300, 500), (500, 300), (256, 256), (97, 311)])
 def test_load_canonical_matches_pil_two_step(shape):
     from rlcf_tpu.data.transforms import center_crop, resize_short_side_pil
