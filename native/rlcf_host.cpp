@@ -615,6 +615,10 @@ void generate_views_one(const uint8_t* image, int h, int w, int n_views, int res
 #if defined(RLCF_WITH_CODECS)
 namespace {
 
+// Pixel cap for header-declared dimensions (PIL's DecompressionBomb limit is
+// ~89 Mpx; anything bigger goes through the PIL fallback and its policy).
+constexpr size_t kMaxDecodePixels = 100u * 1000 * 1000;
+
 // libjpeg aborts via error_exit; route it through longjmp so a corrupt file
 // returns an error code instead of killing the process.
 struct JpegErrMgr {
@@ -654,6 +658,11 @@ int decode_jpeg_rgb(const uint8_t* data, unsigned long nbytes, ImageU8& out, boo
     jpeg_destroy_decompress(&cinfo);
     return 0;
   }
+  if (cinfo.image_width == 0 || cinfo.image_height == 0 ||
+      static_cast<size_t>(cinfo.image_width) * cinfo.image_height > kMaxDecodePixels) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;  // header-declared bomb -> PIL fallback and its policy
+  }
   jpeg_start_decompress(&cinfo);
   out.h = static_cast<int>(cinfo.output_height);
   out.w = static_cast<int>(cinfo.output_width);
@@ -675,36 +684,74 @@ int decode_jpeg_rgb(const uint8_t* data, unsigned long nbytes, ImageU8& out, boo
   return corrupt ? 1 : 0;
 }
 
-// Decode PNG bytes to interleaved u8 RGB. Reads RGBA and strips alpha (what
-// PIL's convert("RGB") does — drop, not composite).
+struct PngMemReader {
+  const uint8_t* data;
+  size_t size;
+  size_t pos;
+};
+
+void png_mem_read(png_structp png, png_bytep dst, png_size_t n) {
+  PngMemReader* r = static_cast<PngMemReader*>(png_get_io_ptr(png));
+  if (r->pos + n > r->size) png_error(png, "read past end");
+  std::memcpy(dst, r->data + r->pos, n);
+  r->pos += n;
+}
+
+void png_silent_err(png_structp png, png_const_charp) { longjmp(png_jmpbuf(png), 1); }
+void png_silent_warn(png_structp, png_const_charp) {}
+
+// Decode PNG bytes to interleaved u8 RGB with the FULL libpng API and no
+// gamma handling — the simplified png_image API gamma-converts gAMA-tagged
+// files to sRGB, which PIL does not, and parity with PIL is the contract
+// here. Palette/gray expand to RGB; 16-bit strips to 8; alpha is dropped
+// (what PIL's convert("RGB") does — drop, not composite).
 int decode_png_rgb(const uint8_t* data, size_t nbytes, ImageU8& out, bool dims_only, int* oh,
                    int* ow) {
-  png_image img;
-  std::memset(&img, 0, sizeof img);
-  img.version = PNG_IMAGE_VERSION;
-  if (!png_image_begin_read_from_memory(&img, data, nbytes)) return 1;
-  *oh = static_cast<int>(img.height);
-  *ow = static_cast<int>(img.width);
-  if (dims_only) {
-    png_image_free(&img);
-    return 0;
-  }
-  img.format = PNG_FORMAT_RGBA;
-  std::vector<uint8_t> rgba(static_cast<size_t>(img.height) * img.width * 4);
-  if (!png_image_finish_read(&img, nullptr, rgba.data(), 0, nullptr)) {
-    png_image_free(&img);
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, png_silent_err,
+                                           png_silent_warn);
+  if (!png) return 1;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
     return 1;
   }
-  out.h = *oh;
-  out.w = *ow;
-  out.data.resize(static_cast<size_t>(out.h) * out.w * 3);
-  const uint8_t* s = rgba.data();
-  uint8_t* d = out.data.data();
-  for (size_t i = 0, n = static_cast<size_t>(out.h) * out.w; i < n; ++i, s += 4, d += 3) {
-    d[0] = s[0];
-    d[1] = s[1];
-    d[2] = s[2];
+  std::vector<png_bytep> rows;
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 1;
   }
+  PngMemReader reader{data, nbytes, 0};
+  png_set_read_fn(png, &reader, png_mem_read);
+  png_read_info(png, info);
+  const png_uint_32 w = png_get_image_width(png, info);
+  const png_uint_32 h = png_get_image_height(png, info);
+  *oh = static_cast<int>(h);
+  *ow = static_cast<int>(w);
+  if (w == 0 || h == 0 || static_cast<size_t>(w) * h > kMaxDecodePixels) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return dims_only ? 0 : 1;
+  }
+  if (dims_only) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 0;
+  }
+  // Normalize every input layout to 8-bit RGB; no gamma transform.
+  png_set_expand(png);         // palette -> RGB, gray<8 -> 8, tRNS -> alpha
+  png_set_strip_16(png);       // 16-bit -> 8-bit
+  png_set_gray_to_rgb(png);    // gray -> RGB
+  png_set_strip_alpha(png);    // drop alpha (PIL convert("RGB") semantics)
+  png_read_update_info(png, info);
+  if (png_get_channels(png, info) != 3) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 1;
+  }
+  out.h = static_cast<int>(h);
+  out.w = static_cast<int>(w);
+  out.data.resize(static_cast<size_t>(h) * w * 3);
+  rows.resize(h);
+  for (png_uint_32 y = 0; y < h; ++y) rows[y] = out.px(static_cast<int>(y), 0);
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
   return 0;
 }
 
@@ -834,21 +881,31 @@ void rlcf_preprocess_batch(const uint8_t* images, int n, int h, int w, int resol
 #if defined(RLCF_WITH_CODECS)
 
 // Report decoded dimensions without decoding pixels (caller sizes buffers).
-// Returns 0 ok, 1 decode error, 2 unsupported container.
+// Returns 0 ok, 1 decode error, 2 unsupported container, 3 internal error.
+// try/catch: an exception (e.g. bad_alloc on a crafted header) must never
+// cross the ctypes boundary — that would std::terminate the process.
 int rlcf_decode_dims(const uint8_t* data, long nbytes, int* h, int* w) {
-  ImageU8 dummy;
-  return decode_any(data, static_cast<unsigned long>(nbytes), dummy, true, h, w);
+  try {
+    ImageU8 dummy;
+    return decode_any(data, static_cast<unsigned long>(nbytes), dummy, true, h, w);
+  } catch (...) {
+    return 3;
+  }
 }
 
 // Full-size decode to interleaved u8 RGB ([h, w, 3], buffer from
 // rlcf_decode_dims). Same return codes as rlcf_decode_dims.
 int rlcf_decode_rgb(const uint8_t* data, long nbytes, uint8_t* out) {
-  ImageU8 img;
-  int h = 0, w = 0;
-  const int rc = decode_any(data, static_cast<unsigned long>(nbytes), img, false, &h, &w);
-  if (rc) return rc;
-  std::memcpy(out, img.data.data(), img.data.size());
-  return 0;
+  try {
+    ImageU8 img;
+    int h = 0, w = 0;
+    const int rc = decode_any(data, static_cast<unsigned long>(nbytes), img, false, &h, &w);
+    if (rc) return rc;
+    std::memcpy(out, img.data.data(), img.data.size());
+    return 0;
+  } catch (...) {
+    return 3;
+  }
 }
 
 // Decode + bicubic short-side resize + center crop -> [size, size, 3] u8:
@@ -856,7 +913,7 @@ int rlcf_decode_rgb(const uint8_t* data, long nbytes, uint8_t* out) {
 // composition of transforms.load_image + resize_short_side_pil + center_crop
 // — same kernel as PIL bicubic incl. antialias, half-to-even dim rounding
 // matching Python round()).
-int rlcf_load_canonical(const uint8_t* data, long nbytes, int size, uint8_t* out) {
+int rlcf_load_canonical(const uint8_t* data, long nbytes, int size, uint8_t* out) try {
   ImageU8 img;
   int h = 0, w = 0;
   const int rc = decode_any(data, static_cast<unsigned long>(nbytes), img, false, &h, &w);
@@ -878,6 +935,8 @@ int rlcf_load_canonical(const uint8_t* data, long nbytes, int size, uint8_t* out
     std::memcpy(out + static_cast<size_t>(y) * size * 3, resized.px(top + y, left),
                 static_cast<size_t>(size) * 3);
   return 0;
+} catch (...) {
+  return 3;
 }
 
 #endif  // RLCF_WITH_CODECS

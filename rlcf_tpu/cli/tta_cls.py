@@ -284,12 +284,5 @@ def main(argv=None):
     return results
 
 
-def _to_canonical(img: np.ndarray, size: int) -> np.ndarray:
-    """Host: decode-side resize to the canonical square for the device pipeline."""
-    from ..data.transforms import resize_short_side_pil, center_crop
-
-    return center_crop(resize_short_side_pil(img, size), size)
-
-
 if __name__ == "__main__":
     main()

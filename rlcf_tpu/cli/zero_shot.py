@@ -52,13 +52,13 @@ def main(argv=None):
             results[set_id] = zero_shot_eval(
                 params, cfg, dataset, classnames, prompt_prefix=prefix,
                 batch_size=args.batch_size, resolution=args.resolution, limit=args.limit, seed=args.seed,
-                decode=args.decode,
+                decode=args.decode, decode_workers=args.decode_workers,
             )
         else:
             results[set_id] = zero_shot_eval_ensemble(
                 models, dataset, classnames, prompt_prefix=prefix,
                 batch_size=args.batch_size, resolution=args.resolution, limit=args.limit, seed=args.seed,
-                decode=args.decode,
+                decode=args.decode, decode_workers=args.decode_workers,
             )
         logger.text(f"=> Zero-shot acc on [{set_id}]: {results[set_id]}")
     logger.results_json(results)

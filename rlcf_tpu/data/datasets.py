@@ -319,22 +319,6 @@ def iter_batches(
         yield imgs, labels
 
 
-def iter_raw(
-    dataset,
-    shuffle: bool = True,
-    seed: int = 0,
-    limit: Optional[int] = None,
-) -> Iterator[Tuple[np.ndarray, int]]:
-    """Yield raw (uint8 HWC image, label) pairs, e.g. for the TPU aug pipeline."""
-    order = np.arange(len(dataset))
-    if shuffle:
-        np.random.default_rng(seed).shuffle(order)
-    if limit is not None:
-        order = order[:limit]
-    for i in order:
-        yield dataset[i]
-
-
 def iter_canonical(
     dataset,
     size: int = 256,
@@ -346,7 +330,7 @@ def iter_canonical(
 ) -> Iterator[Tuple[np.ndarray, int]]:
     """Yield (canonical [size, size, 3] u8, label) for the episode stream.
 
-    Same order as ``iter_raw(shuffle, seed, limit)``; the bicubic short-side
+    Same (shuffle, seed, limit)-determined order as ``iter_batches``; the bicubic short-side
     resize + center crop happens at decode time instead of on the consumer
     thread. ``decode="native"`` runs file-bytes -> canonical square in one
     C++ call (JPEG/PNG; `native/rlcf_host.cpp::rlcf_load_canonical`) that
@@ -363,14 +347,14 @@ def iter_canonical(
     if limit is not None:
         order = order[:limit]
 
-    from .transforms import center_crop, resize_short_side_pil
+    from .transforms import center_crop, load_canonical, resize_short_side_pil
 
     use_native = False
     if decode == "native":
         try:
-            from .native import decode_available, load_canonical_native
+            from .native import decode_available
 
-            use_native = decode_available()
+            use_native = decode_available()  # resolve/build once, pre-pool
         except Exception:
             use_native = False
     sample_ref = getattr(dataset, "sample_ref", None)
@@ -379,11 +363,9 @@ def iter_canonical(
         i = int(i)
         if use_native and sample_ref is not None:
             path, label = sample_ref(i)
-            if path.lower().endswith((".jpg", ".jpeg", ".png")):
-                with open(path, "rb") as fh:
-                    arr = load_canonical_native(fh.read(), size)
-                if arr is not None:
-                    return arr, label
+            arr = load_canonical(path, size)
+            if arr is not None:
+                return arr, label
         img, label = dataset[i]
         return center_crop(resize_short_side_pil(img, size), size), label
 

@@ -12,33 +12,44 @@ import ctypes
 import functools
 import os
 import subprocess
+import threading
 
 import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "librlcf_host.so")
+_BUILD_LOCK = threading.Lock()  # lru_cache does not serialize the first call
 
 
 def _build():
     src = os.path.join(_NATIVE_DIR, "rlcf_host.cpp")
     if not os.path.exists(src):
         raise RuntimeError(f"native source not found at {src}")
+    # Compile to a temp path and atomically rename: concurrent builders (other
+    # threads or processes) then can't interleave writes into the loaded .so.
+    tmp = f"{_LIB_PATH}.build.{os.getpid()}"
     base = ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared", "-pthread"]
     # Preferred build includes the JPEG/PNG decode path; hosts without the
     # codec dev headers get the codec-free library (decode falls back to PIL).
-    with_codecs = base + ["-DRLCF_WITH_CODECS", "-o", _LIB_PATH, src, "-ljpeg", "-lpng"]
     try:
-        subprocess.run(with_codecs, check=True, capture_output=True)
-    except subprocess.CalledProcessError:
-        subprocess.run(base + ["-o", _LIB_PATH, src], check=True, capture_output=True)
+        with_codecs = base + ["-DRLCF_WITH_CODECS", "-o", tmp, src, "-ljpeg", "-lpng"]
+        try:
+            subprocess.run(with_codecs, check=True, capture_output=True)
+        except subprocess.CalledProcessError:
+            subprocess.run(base + ["-o", tmp, src], check=True, capture_output=True)
+        os.replace(tmp, _LIB_PATH)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 @functools.lru_cache()
 def _lib():
-    if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(
-        os.path.join(_NATIVE_DIR, "rlcf_host.cpp")
-    ):
-        _build()
+    with _BUILD_LOCK:
+        if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(
+            os.path.join(_NATIVE_DIR, "rlcf_host.cpp")
+        ):
+            _build()
     lib = ctypes.CDLL(_LIB_PATH)
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")

@@ -60,29 +60,36 @@ def preprocess_pil(path_or_array, resolution: int = 224) -> np.ndarray:
     return normalize(img)
 
 
-def preprocess(path_or_array, resolution: int = 224, decode: str = "pil") -> np.ndarray:
-    """`preprocess_pil` with an optional native decode+resize fast path.
+def load_canonical(path: str, size: int):
+    """Native file-bytes -> canonical [size, size, 3] u8 square, or None.
 
-    ``decode="native"`` routes JPEG/PNG files through one GIL-releasing C++
-    call (decode bit-identical to PIL; bicubic resize within tolerance — see
-    `native/rlcf_host.cpp::rlcf_load_canonical`), falling back to PIL for
-    arrays, other formats, or when the library lacks the codec build.
+    The single native-decode gate shared by `preprocess` and
+    `datasets.iter_canonical`: JPEG/PNG extension whitelist, one
+    GIL-releasing C++ call (decode bit-identical to PIL; bicubic resize
+    within tolerance — `native/rlcf_host.cpp::rlcf_load_canonical`). Returns
+    None whenever the caller should take its PIL path instead (other
+    formats, codec-free build, corrupt/oversized files).
     """
-    if (
-        decode == "native"
-        and isinstance(path_or_array, str)
-        and path_or_array.lower().endswith((".jpg", ".jpeg", ".png"))
-    ):
-        try:
-            from .native import decode_available, load_canonical_native
+    if not (isinstance(path, str) and path.lower().endswith((".jpg", ".jpeg", ".png"))):
+        return None
+    try:
+        from .native import decode_available, load_canonical_native
 
-            if decode_available():
-                with open(path_or_array, "rb") as fh:
-                    arr = load_canonical_native(fh.read(), resolution)
-                if arr is not None:
-                    return normalize(arr)
-        except Exception:
-            pass
+        if not decode_available():
+            return None
+        with open(path, "rb") as fh:
+            return load_canonical_native(fh.read(), size)
+    except Exception:
+        return None
+
+
+def preprocess(path_or_array, resolution: int = 224, decode: str = "pil") -> np.ndarray:
+    """`preprocess_pil` with an optional native decode+resize fast path
+    (``decode="native"`` -> `load_canonical`, PIL fallback otherwise)."""
+    if decode == "native":
+        arr = load_canonical(path_or_array, resolution)
+        if arr is not None:
+            return normalize(arr)
     return preprocess_pil(path_or_array, resolution)
 
 
@@ -93,6 +100,17 @@ def preprocess_many(items, resolution: int = 224, decode: str = "pil", workers: 
     parallelism (the reference's DataLoader-worker role). Order preserved.
     """
     items = list(items)
+    if decode == "native":
+        # Resolve (and if needed build) the native library ONCE before any
+        # pool: concurrent first-use builds from worker threads could race
+        # on the .so file.
+        try:
+            from .native import decode_available
+
+            if not decode_available():
+                decode = "pil"
+        except Exception:
+            decode = "pil"
     if decode != "native" or len(items) <= 1:
         return [preprocess(i, resolution, decode) for i in items]
     if workers == 0:

@@ -110,6 +110,7 @@ def zero_shot_eval(
     limit: Optional[int] = None,
     seed: int = 0,
     decode: str = "pil",
+    decode_workers: int = 0,
 ) -> dict:
     """Zero-shot top-1/top-5 over a dataset loader."""
     from ..data.datasets import iter_batches
@@ -117,7 +118,7 @@ def zero_shot_eval(
     class_feats = compute_class_features(params, cfg, classnames, prompt_prefix)
     step = jax.jit(functools.partial(classify_logits, cfg=cfg))
     meter = AccuracyMeter()
-    for images, labels in iter_batches(dataset, batch_size, resolution, shuffle=True, seed=seed, limit=limit, decode=decode):
+    for images, labels in iter_batches(dataset, batch_size, resolution, shuffle=True, seed=seed, limit=limit, decode=decode, workers=decode_workers):
         logits = step(params, images=jnp.asarray(images), class_features=class_feats)
         meter.update(np.asarray(logits), labels)
     return meter.summary()
@@ -133,6 +134,7 @@ def zero_shot_eval_ensemble(
     limit: Optional[int] = None,
     seed: int = 0,
     decode: str = "pil",
+    decode_workers: int = 0,
 ) -> dict:
     """Logit-averaged multi-architecture ensemble (`custom_clip.py:555-566`)."""
     from ..data.datasets import iter_batches
@@ -148,7 +150,7 @@ def zero_shot_eval_ensemble(
         return jnp.mean(jnp.stack(logits), axis=0)
 
     meter = AccuracyMeter()
-    for images, labels in iter_batches(dataset, batch_size, resolution, shuffle=True, seed=seed, limit=limit, decode=decode):
+    for images, labels in iter_batches(dataset, batch_size, resolution, shuffle=True, seed=seed, limit=limit, decode=decode, workers=decode_workers):
         logits = step(jnp.asarray(images), *feats)
         meter.update(np.asarray(logits), labels)
     return meter.summary()

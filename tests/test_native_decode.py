@@ -84,6 +84,44 @@ def test_unsupported_container_returns_none():
     assert native.load_canonical_native(b"GIF89a....", 64) is None
 
 
+def _insert_png_chunk(data: bytes, chunk_type: bytes, payload: bytes) -> bytes:
+    """Insert a chunk right after IHDR (signature 8B + IHDR 25B)."""
+    import struct
+    import zlib
+
+    pos = 8 + 25
+    chunk = struct.pack(">I", len(payload)) + chunk_type + payload
+    chunk += struct.pack(">I", zlib.crc32(chunk_type + payload) & 0xFFFFFFFF)
+    return data[:pos] + chunk + data[pos:]
+
+
+def test_gamma_tagged_png_matches_pil():
+    # PIL ignores gAMA; the decoder must too (the libpng simplified API
+    # would gamma-convert to sRGB — that's why the full API is used)
+    import struct
+
+    img = _rand_img(30, 44, seed=11)
+    data = _encode(img, "PNG")
+    tagged = _insert_png_chunk(data, b"gAMA", struct.pack(">I", 100000))  # gamma 1.0
+    ref = np.asarray(Image.open(io.BytesIO(tagged)).convert("RGB"))
+    np.testing.assert_array_equal(ref, img)  # PIL ignores the chunk
+    dec = native.decode_rgb_native(tagged)
+    np.testing.assert_array_equal(dec, img)
+
+
+def test_bomb_header_refused():
+    # IHDR claiming 65000x65000 (4.2 Gpx) must be refused without allocating
+    import struct
+
+    data = bytearray(_encode(_rand_img(8, 8, seed=12), "PNG"))
+    data[16:24] = struct.pack(">II", 65000, 65000)  # width, height
+    import zlib
+
+    crc = zlib.crc32(bytes(data[12:29])) & 0xFFFFFFFF  # type+payload
+    data[29:33] = struct.pack(">I", crc)
+    assert native.load_canonical_native(bytes(data), 64) is None
+
+
 def test_truncated_jpeg_and_cmyk_fall_back():
     img = _rand_img(40, 50, seed=9)
     data = _encode(img, "JPEG", quality=90)
