@@ -192,6 +192,25 @@ def test_iter_batches_native_matches_pil(tmp_path):
         assert np.abs(ia - ib).mean() < 0.015
 
 
+def test_preprocess_native_matches_pil(tmp_path):
+    from rlcf_tpu.data.transforms import preprocess, preprocess_many, preprocess_pil
+
+    img = _rand_img(90, 120, seed=7)
+    p = str(tmp_path / "a.png")
+    Image.fromarray(img).save(p)
+    ref = preprocess_pil(p, 64)
+    nat = preprocess(p, 64, decode="native")
+    assert nat.dtype == ref.dtype == np.float32
+    assert np.abs(nat - ref).mean() < 0.015  # 1 gray ~ 0.015 normalized
+
+    # arrays and non-image paths fall back to PIL identically
+    np.testing.assert_array_equal(preprocess(img, 64, decode="native"), preprocess_pil(img, 64))
+
+    outs = preprocess_many([p, img, p], 64, decode="native", workers=2)
+    assert len(outs) == 3 and all(o.shape == (64, 64, 3) for o in outs)
+    np.testing.assert_array_equal(outs[0], outs[2])
+
+
 def test_iter_canonical_falls_back_without_sample_ref():
     from rlcf_tpu.data.datasets import SyntheticDataset, iter_canonical
 
