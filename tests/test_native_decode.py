@@ -217,3 +217,20 @@ def test_iter_canonical_falls_back_without_sample_ref():
     ds = SyntheticDataset(n=5, size=96)
     out = list(iter_canonical(ds, 64, decode="native", workers=2))
     assert len(out) == 5 and out[0][0].shape == (64, 64, 3)
+
+
+@pytest.mark.parametrize("cli,extra", [
+    ("tta_cls", []),
+    ("tune_cls", []),
+    ("zero_shot", []),
+    ("tta_retrieval", ["--annotations", "x.json", "--vis_root", "y"]),
+    ("tta_caption", []),
+    ("extract_features", ["--annotations", "x.json", "--out", "o.npz"]),
+    ("clipscore_eval", ["c.json", "imgs"]),
+])
+def test_every_image_cli_exposes_decode_flags(cli, extra):
+    import importlib
+
+    mod = importlib.import_module(f"rlcf_tpu.cli.{cli}")
+    args = mod.get_args(extra + ["--decode", "native", "--decode_workers", "3"])
+    assert args.decode == "native" and args.decode_workers == 3
