@@ -108,48 +108,65 @@ def main():
     def make_views_device(seed):
         return gen(jnp.asarray(imgs), jax.random.split(jax.random.PRNGKey(seed), group))
 
+    def setup_viewgen(backend):
+        """(make_tokens_fused, make_views_host) for a backend choice."""
+        if backend == "fused":
+            from rlcf_tpu.ops.pallas_augmix import fused_views, fused_views_sharded
+
+            imgs_planar = jnp.asarray(np.ascontiguousarray(imgs.transpose(0, 3, 1, 2)))
+            p_pol, p_rew = pcfg.vision_patch_size, rcfg.vision_patch_size
+            reward_same_res = rcfg.is_vit and rcfg.image_resolution == 224
+            fkw = dict(n_views=n_views, resolution=224, src_size=256,
+                       p_policy=p_pol, p_reward=p_rew if reward_same_res else 0)
+
+            def make_tokens_fused(seed):
+                keys = jax.random.split(jax.random.PRNGKey(seed), group)
+                if mesh is not None and group % mesh.shape["dp"] == 0:
+                    # multi-chip: viewgen shards over dp with the episodes
+                    return fused_views_sharded(imgs_planar, keys, mesh, **fkw)
+                return fused_views(imgs_planar, keys, **fkw)
+
+            return make_tokens_fused, None
+        if backend == "native" and n_devices > 1:
+            # Multi-chip dp shards rank-5 view batches; keep the NHWC u8 path there.
+            from rlcf_tpu.data.native import generate_views_native_u8
+
+            def make_views_host(seed):
+                return generate_views_native_u8(imgs, n_views=n_views, resolution=224, seed=seed)
+
+            return None, make_views_host
+        if backend == "native":
+            # Patch-major u8 tokens: views ship pre-patchified for both towers
+            # ([., p^2*3]-minor layouts ride the fast transfer path and feed the
+            # patch-embed matmul directly; the [., 3]-minor image layout tile-pads
+            # 42x costing ~0.8s/group in transfer or on-device relayout).
+            from rlcf_tpu.data.native import generate_views_native_patch_u8
+
+            p_pol = pcfg.vision_patch_size
+
+            def make_views_host(seed):
+                # policy tokens only: the reward's few selected views are
+                # depatchified on device (S << B), halving the host emit cost
+                return generate_views_native_patch_u8(
+                    imgs, n_views=n_views, p_policy=p_pol, resolution=224, seed=seed
+                )
+
+            return None, make_views_host
+        return None, None
+
+    make_tokens_fused, make_views_host = setup_viewgen(backend)
     if backend == "fused":
-        from rlcf_tpu.ops.pallas_augmix import fused_views, fused_views_sharded
-
-        imgs_planar = jnp.asarray(np.ascontiguousarray(imgs.transpose(0, 3, 1, 2)))
-        p_pol, p_rew = pcfg.vision_patch_size, rcfg.vision_patch_size
-        reward_same_res = rcfg.is_vit and rcfg.image_resolution == 224
-        fkw = dict(n_views=n_views, resolution=224, src_size=256,
-                   p_policy=p_pol, p_reward=p_rew if reward_same_res else 0)
-
-        def make_tokens_fused(seed):
-            keys = jax.random.split(jax.random.PRNGKey(seed), group)
-            if mesh is not None and group % mesh.shape["dp"] == 0:
-                # multi-chip: viewgen shards over dp with the episodes
-                return fused_views_sharded(imgs_planar, keys, mesh, **fkw)
-            return fused_views(imgs_planar, keys, **fkw)
-
-        make_views_host = None
-    elif backend == "native" and n_devices > 1:
-        # Multi-chip dp shards rank-5 view batches; keep the NHWC u8 path there.
-        from rlcf_tpu.data.native import generate_views_native_u8
-
-        def make_views_host(seed):
-            return generate_views_native_u8(imgs, n_views=n_views, resolution=224, seed=seed)
-
-    elif backend == "native":
-        # Patch-major u8 tokens: views ship pre-patchified for both towers
-        # ([., p^2*3]-minor layouts ride the fast transfer path and feed the
-        # patch-embed matmul directly; the [., 3]-minor image layout tile-pads
-        # 42x costing ~0.8s/group in transfer or on-device relayout).
-        from rlcf_tpu.data.native import generate_views_native_patch_u8
-
-        p_pol = pcfg.vision_patch_size
-
-        def make_views_host(seed):
-            # policy tokens only: the reward's few selected views are
-            # depatchified on device (S << B), halving the host emit cost
-            return generate_views_native_patch_u8(
-                imgs, n_views=n_views, p_policy=p_pol, resolution=224, seed=seed
-            )
-
-    else:
-        make_views_host = None
+        # Insurance for the recorded headline number: if the Pallas kernel
+        # stops compiling on a changed runtime, fall back to the round-2
+        # native-host path instead of crashing the bench.
+        try:
+            jax.block_until_ready(
+                t[0] if isinstance((t := make_tokens_fused(-1)), tuple) else t)
+        except Exception as e:  # Mosaic/runtime regression
+            print(f"# fused viewgen failed ({type(e).__name__}: {e}); "
+                  "falling back to BENCH_VIEWGEN=native", file=sys.stderr)
+            backend = "native"
+            make_tokens_fused, make_views_host = setup_viewgen(backend)
 
     def run_group(v):
         if isinstance(v, tuple):  # patch-major token pair
