@@ -654,14 +654,16 @@ int decode_jpeg_rgb(const uint8_t* data, unsigned long nbytes, ImageU8& out, boo
   cinfo.out_color_space = JCS_RGB;
   *oh = static_cast<int>(cinfo.image_height);
   *ow = static_cast<int>(cinfo.image_width);
+  if (cinfo.image_width == 0 || cinfo.image_height == 0 ||
+      static_cast<size_t>(cinfo.image_width) * cinfo.image_height > kMaxDecodePixels) {
+    // header-declared bomb: refuse in BOTH modes, so callers that size
+    // buffers from rlcf_decode_dims never allocate for one
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
   if (dims_only) {
     jpeg_destroy_decompress(&cinfo);
     return 0;
-  }
-  if (cinfo.image_width == 0 || cinfo.image_height == 0 ||
-      static_cast<size_t>(cinfo.image_width) * cinfo.image_height > kMaxDecodePixels) {
-    jpeg_destroy_decompress(&cinfo);
-    return 1;  // header-declared bomb -> PIL fallback and its policy
   }
   jpeg_start_decompress(&cinfo);
   out.h = static_cast<int>(cinfo.output_height);
@@ -728,8 +730,9 @@ int decode_png_rgb(const uint8_t* data, size_t nbytes, ImageU8& out, bool dims_o
   *oh = static_cast<int>(h);
   *ow = static_cast<int>(w);
   if (w == 0 || h == 0 || static_cast<size_t>(w) * h > kMaxDecodePixels) {
+    // refuse bombs in BOTH modes — rlcf_decode_dims callers allocate from it
     png_destroy_read_struct(&png, &info, nullptr);
-    return dims_only ? 0 : 1;
+    return 1;
   }
   if (dims_only) {
     png_destroy_read_struct(&png, &info, nullptr);

@@ -113,8 +113,12 @@ def main(argv=None):
 
     else:
 
+        # same epoch-shuffle semantics as the sharded branch: the rng
+        # advances across data_iter() calls, so every epoch reshuffles
+        shuffle_rng = np.random.default_rng(args.seed)
+
         def data_iter():
-            order = np.random.default_rng(args.seed).permutation(n)
+            order = shuffle_rng.permutation(n)
             for s in range(0, n - args.train_batch_size + 1, args.train_batch_size):
                 idx = order[s : s + args.train_batch_size]
                 yield prefix[idx], tokens[idx], mask[idx]

@@ -97,14 +97,23 @@ class ShardWriter:
 
 
 def is_sharded(path: str) -> bool:
-    return path.endswith(_MANIFEST_SUFFIX) or os.path.exists(path + _MANIFEST_SUFFIX)
+    if path.endswith(_MANIFEST_SUFFIX) or os.path.exists(path + _MANIFEST_SUFFIX):
+        return True
+    # the extractor maps '--out feats.npz --shard_size N' to feats.manifest.json
+    return path.endswith(".npz") and os.path.exists(path[:-4] + _MANIFEST_SUFFIX)
 
 
 class ShardedEmbeddings:
     """Bounded-memory reader: one shard resident at a time."""
 
     def __init__(self, path: str):
-        mpath = path if path.endswith(_MANIFEST_SUFFIX) else path + _MANIFEST_SUFFIX
+        if path.endswith(_MANIFEST_SUFFIX):
+            mpath = path
+        else:
+            base = path[:-4] if path.endswith(".npz") else path
+            mpath = path + _MANIFEST_SUFFIX
+            if not os.path.exists(mpath):
+                mpath = base + _MANIFEST_SUFFIX
         with open(mpath) as fh:
             self.manifest = json.load(fh)
         self.root = os.path.dirname(os.path.abspath(mpath))

@@ -309,7 +309,10 @@ def download_checkpoint(arch: str, root: Optional[str] = None, timeout: float = 
 
         warnings.warn(f"{target} exists but its SHA256 does not match; re-downloading")
 
-    tmp = target + ".part"
+    # pid-suffixed temp + atomic replace: concurrent downloaders (e.g. a
+    # policy and a reward job racing on the same arch) each write their own
+    # file and the last os.replace wins intact
+    tmp = f"{target}.part.{os.getpid()}"
     try:
         with urllib.request.urlopen(url, timeout=timeout) as src, open(tmp, "wb") as out:
             while True:
@@ -328,10 +331,14 @@ def download_checkpoint(arch: str, root: Optional[str] = None, timeout: float = 
             f"--reward_checkpoint, or place it at {target}"
         ) from e
     if _sha256_file(tmp) != expected:
-        os.unlink(tmp)
+        for f in (tmp, tmp + ".sha256"):
+            try:
+                os.unlink(f)
+            except OSError:
+                pass
         raise RuntimeError(f"downloaded {arch} checkpoint failed SHA256 verification")
     os.replace(tmp, target)
-    try:  # drop the .part digest sidecar; memoize under the final name
+    try:  # drop the temp digest sidecar; memoize under the final name
         os.unlink(tmp + ".sha256")
     except OSError:
         pass

@@ -393,6 +393,10 @@ def beam_generate(
 ):
     """Beam search conditioned on ``prefix_embeds`` [B, P, D].
 
+    ``seg_len`` (when set) must be positive — validated up front because a
+    negative value would otherwise size the generated-position cache at -1
+    and loop forever building segment bounds.
+
     Returns (sequences [B, num_return, max_new_tokens] int32 padded with pad
     token after EOS, scores [B, num_return]). EOS defaults to the newline
     token (`generate_opt.py:53`); hypotheses are ranked by
@@ -405,6 +409,9 @@ def beam_generate(
     tokens instead of ``max_new_tokens``. Outputs identical; compiles one
     decode body per segment size. None = single full-size cache.
     """
+    if seg_len is not None and seg_len < 0:
+        raise ValueError(f"seg_len must be positive (or None/0 = off), got {seg_len}")
+    seg_len = seg_len or None  # 0 means off, like None
     eos = cfg.eos_newline_id if eos_id is None else eos_id
     num_return = num_return or num_beams
     B, P, D = prefix_embeds.shape

@@ -234,3 +234,16 @@ def test_every_image_cli_exposes_decode_flags(cli, extra):
     mod = importlib.import_module(f"rlcf_tpu.cli.{cli}")
     args = mod.get_args(extra + ["--decode", "native", "--decode_workers", "3"])
     assert args.decode == "native" and args.decode_workers == 3
+
+
+def test_decode_dims_refuses_bomb_headers():
+    # decode_rgb_native sizes its buffer from rlcf_decode_dims — a bomb
+    # header must fail there, before any allocation
+    import struct
+    import zlib
+
+    data = bytearray(_encode(_rand_img(8, 8, seed=13), "PNG"))
+    data[16:24] = struct.pack(">II", 60000, 60000)
+    crc = zlib.crc32(bytes(data[12:29])) & 0xFFFFFFFF
+    data[29:33] = struct.pack(">I", crc)
+    assert native.decode_rgb_native(bytes(data)) is None

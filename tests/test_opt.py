@@ -273,3 +273,17 @@ def test_beam_generate_segmented_cache_identical(hf_tiny):
         )
         np.testing.assert_array_equal(np.asarray(seg_s), np.asarray(base_s))
         np.testing.assert_allclose(np.asarray(seg_sc), np.asarray(base_sc), rtol=1e-6)
+
+
+def test_beam_generate_rejects_negative_seg_len():
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from rlcf_tpu.models import opt as O
+
+    cfg = O.OPT_CONFIGS["test-tiny-opt"]
+    params = O.init_opt_params(jax.random.PRNGKey(0), cfg)
+    prefix = jnp.zeros((1, 2, cfg.embed_dim), jnp.float32)
+    with _pytest.raises(ValueError, match="seg_len"):
+        O.beam_generate(params, cfg, prefix, num_beams=2, max_new_tokens=4, seg_len=-1)

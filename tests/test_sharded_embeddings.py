@@ -98,3 +98,14 @@ def test_extract_and_train_sharded_end_to_end(tmp_path):
          "--output", str(tmp_path / "run")]
     )
     assert len(losses) == 2 and all(np.isfinite(l) for l in losses)
+
+
+def test_npz_suffixed_path_resolves_to_sharded_store(tmp_path):
+    """The extractor maps '--out feats.npz --shard_size N' to
+    feats.manifest.json; the trainer must find the store from the same
+    'feats.npz' path the user passed."""
+    _write(tmp_path / "feats")  # manifest at feats.manifest.json
+    p = str(tmp_path / "feats.npz")
+    assert is_sharded(p)
+    se = ShardedEmbeddings(p)
+    assert se.total == 25

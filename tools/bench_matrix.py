@@ -268,7 +268,14 @@ def bench_retrieval_tp_ab(quick=False):
     import subprocess
     import sys as _sys
 
-    if _os.environ.get("JAX_PLATFORMS") != "cpu":
+    def _needs_reexec():
+        if _os.environ.get("JAX_PLATFORMS") != "cpu":
+            return True
+        import jax as _jax
+
+        return len(_jax.devices()) < 2  # cpu set by hand but no virtual mesh
+
+    if _needs_reexec():
         env = dict(_os.environ,
                    JAX_PLATFORMS="cpu",
                    XLA_FLAGS=_os.environ.get("XLA_FLAGS", "")
