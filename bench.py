@@ -43,7 +43,37 @@ import numpy as np
 BASELINE_IMG_PER_SEC = 7.45  # tools/baseline_roofline.py derived bound
 
 
+def _arm_init_watchdog(timeout_s: float) -> threading.Event:
+    """Abort instead of hanging if the device backend never initializes.
+
+    On this environment the TPU is reached through a tunnel; when the tunnel
+    is wedged, the first `jax.devices()` blocks FOREVER (the interpreter and
+    `import jax` are fine — only backend init hangs). A hung bench is worse
+    than a failed one: the caller gets no JSON, no exit, no diagnostics. The
+    watchdog gives init a generous budget, then exits 3 with a message on
+    stderr and no stdout JSON (so a wedged run can never be recorded as a
+    0-throughput regression).
+    """
+    ready = threading.Event()
+
+    def bark():
+        if not ready.wait(timeout_s):
+            print(
+                f"# bench watchdog: device backend failed to initialize within "
+                f"{timeout_s:.0f}s (TPU tunnel wedged?) — aborting instead of hanging. "
+                "Set BENCH_INIT_TIMEOUT_S to adjust.",
+                file=sys.stderr,
+            )
+            sys.stderr.flush()
+            os._exit(3)
+
+    threading.Thread(target=bark, daemon=True).start()
+    return ready
+
+
 def main():
+    backend_ready = _arm_init_watchdog(float(os.environ.get("BENCH_INIT_TIMEOUT_S", "600")))
+
     import jax
     import jax.numpy as jnp
 
@@ -58,6 +88,7 @@ def main():
     from rlcf_tpu.data.class_names import get_classnames
 
     n_devices = len(jax.devices())
+    backend_ready.set()  # device backend is up; disarm the init watchdog
     n_views = int(os.environ.get("BENCH_VIEWS", 64))
     group = int(os.environ.get("BENCH_GROUP", max(4, 2 * n_devices)))
     iters = int(os.environ.get("BENCH_ITERS", 24))
