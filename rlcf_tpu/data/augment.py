@@ -26,7 +26,8 @@ impossible; the reference itself reshuffles per run):
 - RandomResizedCrop follows torchvision's 10-attempt area/ratio sampler with
   center-crop fallback, applied to the canonical square;
 - rotations use a separable shift-blend warp exact to <=0.3 px at AugMix
-  severities (`ops/pallas_warp.py`).
+  severities (planar roll+select passes; arbitrary-index gathers are 10-50x
+  slower on TPU).
 
 View 0 is the un-augmented base view (`datautils.py:125-128`).
 """
@@ -55,10 +56,6 @@ def _int_param(level, maxval):
 
 def _float_param(level, maxval):
     return level * maxval / 10.0
-
-
-def _use_pallas() -> bool:
-    return jax.default_backend() == "tpu"
 
 
 # ---------------------------------------------------------------------------
@@ -148,7 +145,7 @@ def _batched_affine_coords(mats, H: int, W: int):
     return in_x, in_y
 
 
-def _apply_op_batched(imgs, op_idx, u_level, u_sign, severity, image_size: int, use_pallas: bool):
+def _apply_op_batched(imgs, op_idx, u_level, u_sign, severity, image_size: int):
     """One AugMix chain step over the whole view batch.
 
     imgs [V, C, H, W] (channel-planar — C-minor layouts suffer 42x TPU tile
@@ -181,23 +178,18 @@ def _apply_op_batched(imgs, op_idx, u_level, u_sign, severity, image_size: int, 
     mats = jnp.where((op_idx == 8)[:, None], try_, mats)
 
     in_x, in_y = _batched_affine_coords(mats.astype(imgs.dtype), H, W)
-    if use_pallas:
-        from ..ops.pallas_warp import shift_blend_warp_planar
-
-        warped = shift_blend_warp_planar(imgs, in_x, in_y, max_shift=WARP_MAX_SHIFT)
-    else:
-        dx = jnp.clip(
-            jnp.floor(in_x).astype(jnp.int32) - jnp.arange(W, dtype=jnp.int32)[None, None, :],
-            -WARP_MAX_SHIFT, WARP_MAX_SHIFT,
-        )[:, None]
-        fxv = (in_x - jnp.floor(in_x))[:, None].astype(imgs.dtype)
-        dy = jnp.clip(
-            jnp.floor(in_y).astype(jnp.int32) - jnp.arange(H, dtype=jnp.int32)[None, :, None],
-            -WARP_MAX_SHIFT, WARP_MAX_SHIFT,
-        )[:, None]
-        fyv = (in_y - jnp.floor(in_y))[:, None].astype(imgs.dtype)
-        h = _planar_shift_blend(imgs, dx, fxv, WARP_MAX_SHIFT, axis=3)
-        warped = _planar_shift_blend(h, dy, fyv, WARP_MAX_SHIFT, axis=2)
+    dx = jnp.clip(
+        jnp.floor(in_x).astype(jnp.int32) - jnp.arange(W, dtype=jnp.int32)[None, None, :],
+        -WARP_MAX_SHIFT, WARP_MAX_SHIFT,
+    )[:, None]
+    fxv = (in_x - jnp.floor(in_x))[:, None].astype(imgs.dtype)
+    dy = jnp.clip(
+        jnp.floor(in_y).astype(jnp.int32) - jnp.arange(H, dtype=jnp.int32)[None, :, None],
+        -WARP_MAX_SHIFT, WARP_MAX_SHIFT,
+    )[:, None]
+    fyv = (in_y - jnp.floor(in_y))[:, None].astype(imgs.dtype)
+    h = _planar_shift_blend(imgs, dx, fxv, WARP_MAX_SHIFT, axis=3)
+    warped = _planar_shift_blend(h, dy, fyv, WARP_MAX_SHIFT, axis=2)
     x = jnp.round(warped)  # PIL quantizes after every op
 
     # pixel ops (batched closed forms, selected per view)
@@ -329,7 +321,6 @@ def generate_views(
     severity: float = 1.0,
     crop_min: float = 0.08,
     hard_aug: bool = False,
-    use_pallas: Optional[bool] = None,
 ):
     """One test image -> [n_views, R, R, 3] normalized views.
 
@@ -339,8 +330,6 @@ def generate_views(
     `datautils.py:76-91`), optionally AugMix-mixed with the Beta/Dirichlet
     recipe.
     """
-    if use_pallas is None:
-        use_pallas = _use_pallas()
     if hard_aug:
         crop_min = max(crop_min, 0.2)
     img = image.astype(jnp.float32)
@@ -378,7 +367,7 @@ def generate_views(
             for step in range(MAX_CHAIN_DEPTH):
                 stepped = _apply_op_batched(
                     x_aug, op_idx[chain, step], u_level[chain, step], u_sign[chain, step],
-                    severity, resolution, use_pallas,
+                    severity, resolution,
                 )
                 active = (step < depths[chain])[:, None, None, None]
                 x_aug = jnp.where(active, stepped, x_aug)

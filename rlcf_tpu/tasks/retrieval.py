@@ -148,6 +148,7 @@ class RetrievalTTA:
         update_w: float = 1.0,
         momentum: float = 0.9999,
         mesh=None,
+        factor_embedding: bool = True,
     ):
         assert direction in ("i2t", "t2i")
         if isinstance(reward, ClipRewardEnsemble):
@@ -162,8 +163,22 @@ class RetrievalTTA:
         self.direction = direction
         self.momentum_update = momentum_update
         self.momentum_cfg = dict(momentum=momentum, update_freq=update_freq, update_w=update_w)
+        # t2i trains the full text tower incl. the [49408, 512] token
+        # embedding (`clip_ret_policy.py:106-137`); per-episode AdamW m/v for
+        # that table x group OOMs a 16G chip (25M params x 3 copies x group).
+        # But each episode only ever reads the <=77 rows of its own query
+        # tokens — untouched rows see zero grad, so their reference update is
+        # pure decoupled weight decay, which the final forward never reads.
+        # ``factor_embedding`` therefore swaps the trainable to (tower-sans-
+        # embedding + the query's gathered rows); outputs are exactly equal
+        # (pinned by tests/test_retrieval.py::test_t2i_factored_matches_full).
+        # Momentum-EMA anchors must keep the full table (per-query rows can't
+        # fold into one shared anchor), so momentum disables the factoring.
+        self.factor_embedding = bool(factor_embedding) and direction == "t2i" and not momentum_update
         if direction == "i2t":
             self.trainable0 = clip_params["visual"]
+        elif self.factor_embedding:
+            self.trainable0 = {k: v for k, v in clip_params["text"].items() if k != "token_embedding"}
         else:
             self.trainable0 = clip_params["text"]
         self.momentum_state = Po.MomentumState.create(self.trainable0) if momentum_update else None
@@ -256,17 +271,39 @@ class RetrievalTTA:
 
             else:
 
-                def policy_logits(text_params, cache, idx):
-                    params = {**cparams, "text": text_params}
-                    feats = clip_model.encode_text(params, cfg, cache["views"][idx], attn=attn_p)
-                    feats = clip_model.normalize(feats.astype(jnp.float32))
-                    return scale * jnp.dot(feats, gallery.T, preferred_element_type=jnp.float32)
-
                 def reward_sim(tokens_sel):
                     feats = clip_model.normalize(
                         clip_model.encode_text(rparams, rcfg_arch, tokens_sel, attn=attn_r).astype(jnp.float32)
                     )
                     return jnp.dot(feats, r_gallery.T, preferred_element_type=jnp.float32)
+
+            if direction == "t2i" and self.factor_embedding:
+
+                def policy_logits(trainable, cache, idx):
+                    # Rebuild per-position embeddings from the episode's
+                    # gathered rows through the first-occurrence one-hot
+                    # ("M"): position i reads row firstocc[i], and the matmul
+                    # adjoint M^T accumulates duplicate-position grads onto
+                    # that row — exactly torch's embedding scatter-add.
+                    text = {k: v for k, v in trainable.items() if k != "emb_rows"}
+                    embeds = jnp.einsum(
+                        "ts,sd->td", cache["one_hot"], trainable["emb_rows"],
+                        preferred_element_type=jnp.float32,
+                    ).astype(trainable["emb_rows"].dtype)[None]
+                    params = {**cparams, "text": text}
+                    feats = clip_model.encode_text_embeds(
+                        params, cfg, embeds[idx * 0], cache["eot"][idx * 0], attn=attn_p
+                    )
+                    feats = clip_model.normalize(feats.astype(jnp.float32))
+                    return scale * jnp.dot(feats, gallery.T, preferred_element_type=jnp.float32)
+
+            elif direction == "t2i":
+
+                def policy_logits(text_params, cache, idx):
+                    params = {**cparams, "text": text_params}
+                    feats = clip_model.encode_text(params, cfg, cache["views"][idx], attn=attn_p)
+                    feats = clip_model.normalize(feats.astype(jnp.float32))
+                    return scale * jnp.dot(feats, gallery.T, preferred_element_type=jnp.float32)
 
             teacher_scale = jnp.exp(rparams["logit_scale"])
             episode = make_tta_episode(
@@ -278,9 +315,54 @@ class RetrievalTTA:
                 teacher_scale=teacher_scale,  # enables the KD variant (`clip_ret_kd.py:37-93`)
                 return_adapted=self.momentum_update,
             )
-            return episode(trainable0, {"views": query}, query)
+            cache = {"views": query}
+            if direction == "t2i" and self.factor_embedding:
+                toks = query[0]  # single view: [77] token ids
+                emb0 = cparams["text"]["token_embedding"][toks]  # [77, D]
+                firstocc = jnp.argmax(toks[None, :] == toks[:, None], axis=-1)
+                cache["one_hot"] = jax.nn.one_hot(firstocc, toks.shape[0], dtype=emb0.dtype)
+                cache["eot"] = jnp.argmax(toks)[None]
+                trainable0 = {**trainable0, "emb_rows": emb0}
+            return episode(trainable0, cache, query)
 
         self._episode = jax.jit(jax.vmap(full_episode, in_axes=(None, None, None, None, None, 0)))
+
+    # -- memory ------------------------------------------------------------
+
+    # Measured on v5e (PERF_r04 OOM dumps): a group-32 i2t sweep needed
+    # 25.23G with a ~2G fixed footprint -> ~4.2x the trainable bytes per
+    # episode (adapted params + AdamW m/v + grad transients, scan-carried).
+    _PER_EPISODE_FACTOR = 4.25
+
+    def trainable_bytes(self) -> int:
+        """Per-episode trainable bytes (incl. the factored emb rows)."""
+        n = sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(self.trainable0))
+        if self.factor_embedding:
+            d = self.clip_params["text"]["token_embedding"].shape[1]
+            itemsize = self.clip_params["text"]["token_embedding"].dtype.itemsize
+            n += self.clip_cfg.context_length * d * itemsize
+        return n
+
+    def hbm_group_cap(self, hbm_limit_bytes: int | None = None) -> int | None:
+        """Largest episode group that fits this device's HBM, or None (no
+        limit known — e.g. CPU). Estimate: fixed footprint (frozen towers +
+        galleries + 1G activation slack) + group x 4.25 x trainable bytes,
+        against 95% of the device's memory limit."""
+        if hbm_limit_bytes is None:
+            dev = jax.devices()[0]
+            stats = getattr(dev, "memory_stats", lambda: None)() or {}
+            hbm_limit_bytes = stats.get("bytes_limit")
+        if not hbm_limit_bytes:
+            return None
+        fixed = sum(
+            l.size * l.dtype.itemsize
+            for l in jax.tree.leaves((self.clip_params, self.reward.params))
+        ) + int(1e9)
+        for feats in (self.gallery_feats, self.reward_gallery_feats):
+            if feats is not None:
+                fixed += feats.size * feats.dtype.itemsize
+        budget = 0.95 * hbm_limit_bytes - fixed
+        return max(1, int(budget / (self._PER_EPISODE_FACTOR * self.trainable_bytes())))
 
     def adapt_queries(self, queries: np.ndarray) -> np.ndarray:
         """Run episodes for a group of queries -> score rows [N, gallery_size].
@@ -304,6 +386,10 @@ class RetrievalTTA:
 
     def run(self, queries_iter, total: int, gallery_size: int, group_size: int = 8) -> np.ndarray:
         """Fill the full score matrix (init -100, `clip_ret_policy.py:146-147`)."""
+        cap = self.hbm_group_cap()
+        if cap is not None and group_size > cap:
+            print(f"NOTE: episode group {group_size} would exceed HBM; capping to {cap}")
+            group_size = cap
         scores = np.full((total, gallery_size), -100.0, dtype=np.float32)
         row = 0
         buf = []

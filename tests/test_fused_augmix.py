@@ -156,7 +156,7 @@ def test_full_pipeline_matches_device_path():
     planar = img.transpose(2, 0, 1)[None]
     views = fused_views(planar, rng[None], n_views=8, resolution=64, src_size=96,
                         augmix=True, interpret=True)
-    ref = generate_views(img, rng, n_views=8, resolution=64, augmix=True, use_pallas=False)
+    ref = generate_views(img, rng, n_views=8, resolution=64, augmix=True)
     ref_px = _denorm(ref)
     got = np.asarray(views)[0].transpose(0, 2, 3, 1).astype(np.float64)
 
@@ -176,7 +176,7 @@ def test_augmix_off_is_exact_rrc():
     img = _img(size=96)
     views = fused_views(img.transpose(2, 0, 1)[None], rng[None], n_views=6,
                         resolution=64, src_size=96, augmix=False, interpret=True)
-    ref = generate_views(img, rng, n_views=6, resolution=64, augmix=False, use_pallas=False)
+    ref = generate_views(img, rng, n_views=6, resolution=64, augmix=False)
     d = np.abs(_denorm(ref) - np.asarray(views)[0].transpose(0, 2, 3, 1))
     assert d.max() <= 0.5 + 1e-3
 

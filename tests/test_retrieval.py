@@ -107,6 +107,48 @@ def test_t2i_tta_end_to_end(setup):
     assert np.isfinite(scores).all()
 
 
+def test_t2i_factored_matches_full(setup):
+    """The factored-embedding trainable (gathered query rows + first-occurrence
+    one-hot; Adam state only for touched rows) must be output-identical to
+    training the full text tower incl. the whole token embedding: untouched
+    rows only ever receive pure weight decay, which the final forward never
+    reads, and duplicate-position grads accumulate onto the first-occurrence
+    row exactly like torch's embedding scatter-add."""
+    params, cfg, reward = setup
+    from rlcf_tpu.tokenizer import tokenize
+
+    # lr large enough that the adapted embedding rows actually matter
+    ecfg = EpisodeConfig(tta_steps=3, lr=5e-3, sample_k=2, adam_eps=1e-6, weight_decay=5e-4)
+    gallery_imgs = _images(4, seed=1)
+    scores = {}
+    for factored in (False, True):
+        tta = RetrievalTTA(params, cfg, reward, ecfg, direction="t2i", factor_embedding=factored)
+        tta.set_image_gallery([gallery_imgs], [gallery_imgs])
+        assert tta.factor_embedding is factored
+        # duplicate real tokens in-query ("dogs ... dogs") to exercise the
+        # duplicate-row grad accumulation, plus the usual run of pad zeros
+        tokens = tokenize(["two dogs chasing three dogs in deep snow", TEXTS[2]])
+        scores[factored] = tta.adapt_queries(np.asarray(tokens))
+    np.testing.assert_allclose(scores[True], scores[False], rtol=2e-5, atol=2e-5)
+    # and the factored trainable is actually small: no vocab-sized leaf
+    tta_f = RetrievalTTA(params, cfg, reward, ecfg, direction="t2i")
+    assert all(l.shape[0] != cfg.vocab_size for l in jax.tree.leaves(tta_f.trainable0))
+    assert tta_f.trainable_bytes() < 0.5 * sum(
+        l.size * l.dtype.itemsize for l in jax.tree.leaves(params["text"])
+    )
+
+
+def test_hbm_group_cap(setup):
+    params, cfg, reward = setup
+    ecfg = EpisodeConfig(tta_steps=1, lr=1e-5, sample_k=2)
+    tta = RetrievalTTA(params, cfg, reward, ecfg, direction="i2t").set_text_gallery(TEXTS)
+    assert tta.hbm_group_cap(hbm_limit_bytes=None) in (None, tta.hbm_group_cap())  # CPU: stats-free
+    # explicit budget: fixed footprint ~1G slack dominates tiny params; a
+    # 100G budget allows a huge group, a tiny budget clamps to 1
+    assert tta.hbm_group_cap(hbm_limit_bytes=int(100e9)) > 1000
+    assert tta.hbm_group_cap(hbm_limit_bytes=int(1e9)) == 1
+
+
 def test_i2t_adapts_scores(setup):
     params, cfg, reward = setup
     imgs = _images(2)

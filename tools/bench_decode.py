@@ -55,11 +55,19 @@ def main(argv=None):
     N = B * K
     prefix = jax.random.normal(jax.random.PRNGKey(1), (B, P, cfg.embed_dim), dt) * 0.02
 
+    def materialize(out):
+        # On the axon tunnel jax.block_until_ready returns before the remote
+        # computation finishes (r5 finding: a 200ms beam decode "timed" at
+        # 0.1ms); fetching one element of an output buffer is the only
+        # reliable completion barrier. 4-byte transfer, negligible.
+        np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
+        return out
+
     def timed(fn, *a, iters=args.iters):
-        out = jax.block_until_ready(fn(*a))  # compile
+        out = materialize(fn(*a))  # compile
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = jax.block_until_ready(fn(*a))
+            out = materialize(fn(*a))
         return (time.perf_counter() - t0) / iters, out
 
     # 1. prefill (shared cache, B prefixes)

