@@ -31,6 +31,7 @@ def get_args(argv=None):
     from . import common
 
     common.add_decode_args(p)
+    common.add_dry_run_arg(p)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -38,6 +39,9 @@ def get_args(argv=None):
 def main(argv=None):
     args = get_args(argv)
     from . import common
+
+    if common.finish_dry_run(args):
+        return
     from ..data.transforms import preprocess_many
     from ..metrics.caption_metrics import get_all_metrics
     from ..metrics.clipscore import evaluate_captions

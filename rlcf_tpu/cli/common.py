@@ -80,6 +80,29 @@ def add_run_args(p: argparse.ArgumentParser):
     p.add_argument("--corruption", default="defocus_blur")
     p.add_argument("--level", default="5")
     add_decode_args(p)
+    add_dry_run_arg(p)
+
+
+def add_dry_run_arg(p: argparse.ArgumentParser):
+    p.add_argument(
+        "--dry_run", action="store_true",
+        help="validate the full command line (flags, choices, config "
+        "resolution) and exit before loading checkpoints or data — the "
+        "RUNBOOK pre-flight so a first connected run can't die on a typo",
+    )
+
+
+def finish_dry_run(args) -> bool:
+    """If --dry_run was passed, print the resolved config and signal the
+    CLI to return (placed after each CLI's cheap arg fixups, before any
+    checkpoint/dataset/model work)."""
+    if not getattr(args, "dry_run", False):
+        return False
+    import json as _json
+
+    print("DRY RUN OK: " + _json.dumps(
+        {k: v for k, v in sorted(vars(args).items())}, default=str))
+    return True
 
 
 def add_decode_args(p: argparse.ArgumentParser):

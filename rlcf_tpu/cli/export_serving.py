@@ -36,6 +36,8 @@ def get_args(argv=None):
 
 def main(argv=None):
     args = get_args(argv)
+    if common.finish_dry_run(args):
+        return
     common.enable_cache()
     import jax.numpy as jnp
 

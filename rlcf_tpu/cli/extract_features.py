@@ -32,6 +32,7 @@ def get_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--limit", type=int, default=None)
     common.add_decode_args(p)
+    common.add_dry_run_arg(p)
     p.add_argument(
         "--shard_size", type=int, default=0,
         help="captions per output shard; >0 streams shards with bounded "
@@ -113,6 +114,8 @@ def _extract_sharded(args, params, cfg, ann, captions, image_for_caption):
 
 def main(argv=None):
     args = get_args(argv)
+    if common.finish_dry_run(args):
+        return
     common.enable_cache()
     from ..data.transforms import preprocess_many
     from ..tasks.caption import extract_clip_features

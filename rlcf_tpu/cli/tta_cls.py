@@ -60,6 +60,8 @@ def main(argv=None):
     args = get_args(argv)
     if args.tpt and args.loss == "rlcf":
         args.loss = "tpt"
+    if common.finish_dry_run(args):
+        return
     common.enable_cache()
 
     import jax

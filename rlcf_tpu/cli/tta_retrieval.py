@@ -76,6 +76,8 @@ def _synthetic_gallery(n_images=6, caps_per_image=2, res=224):
 
 def main(argv=None):
     args = get_args(argv)
+    if common.finish_dry_run(args):
+        return
     common.enable_cache()
     from ..core.episode import EpisodeConfig
     from ..data.transforms import preprocess, preprocess_many

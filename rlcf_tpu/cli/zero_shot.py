@@ -22,6 +22,8 @@ def get_args(argv=None):
 
 def main(argv=None):
     args = get_args(argv)
+    if common.finish_dry_run(args):
+        return
     common.enable_cache()
     from ..data.class_names import get_classnames
     from ..data.datasets import build_dataset

@@ -6,12 +6,18 @@ and closest-reference brevity penalty, coco-caption ROUGE-L (beta=1.2, max
 precision/recall over references), and CIDEr-D (n<=4 TF-IDF with sigma=6
 length gaussian and count clipping, x10).
 
-Tokenization: pycocoevalcap shells out to the Java PTBTokenizer; here we use
-a close PTB-style approximation (lowercase, punctuation stripped) — scores
-match pycocoevalcap within tokenization noise. METEOR (a Java jar upstream)
-uses nltk's aligner: exact/stem/synonym stages with wordnet data, exact+stem
-without (this environment has no wordnet corpus) — the active variant is
-reported via ``meteor_mode()`` / the ``meteor_mode`` result field and a
+Tokenization: pycocoevalcap shells out to the Java Stanford PTBTokenizer
+(`-preserveLines -lowerCase`) and drops a fixed punctuation-token set
+(`pycocoevalcap/tokenizer/ptbtokenizer.py`). ``ptb_tokenize`` reproduces
+that pipeline with nltk's TreebankWordTokenizer (a pure-regex port of the
+Penn Treebank rules: contraction/possessive splitting, ``-LRB-`` bracket
+normalization, quote conversion) + the same punctuation-removal set —
+identical tokens on ordinary caption text; exotic unicode/URL inputs may
+still split differently. METEOR (a Java jar upstream) uses nltk's aligner:
+exact/stem/synonym stages with wordnet data, exact+stem without (install
+the corpus with ``python -m nltk.downloader wordnet`` on a connected
+machine; this dev environment has none) — the active variant is reported
+via ``meteor_mode()`` / the ``meteor_mode`` result field and a
 RuntimeWarning fires once when degraded.
 """
 
@@ -24,13 +30,34 @@ from typing import Dict, List, Sequence
 
 _PUNCT = re.compile(r"[^\w\s]")
 
+# the exact token set pycocoevalcap removes AFTER Stanford tokenization
+# (`pycocoevalcap/tokenizer/ptbtokenizer.py:PUNCTUATIONS`)
+_PTB_REMOVE = frozenset([
+    "''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
+    ".", "?", "!", ",", ":", "-", "--", "...", ";",
+])
+_TREEBANK = None
+
 
 def ptb_tokenize(text: str) -> List[str]:
-    """PTB-style approximation: lowercase, split, strip punctuation tokens."""
-    text = text.lower().strip()
-    text = text.replace("-", " ")
-    text = _PUNCT.sub("", text)
-    return text.split()
+    """pycocoevalcap-equivalent tokenization: PTB rules, lowercase, then drop
+    the fixed punctuation-token set. Possessives survive as ``'s`` and
+    contractions split (``doesn't`` -> ``does n't``) exactly like the
+    reference's Java tokenizer; hyphenated words stay joined."""
+    global _TREEBANK
+    if _TREEBANK is None:
+        try:
+            from nltk.tokenize import TreebankWordTokenizer
+
+            _TREEBANK = TreebankWordTokenizer()
+        except Exception:
+            _TREEBANK = False
+    if _TREEBANK:
+        toks = _TREEBANK.tokenize(text.lower().strip(), convert_parentheses=True)
+    else:  # no nltk: legacy lowercase/strip-punctuation approximation
+        t = _PUNCT.sub("", text.lower().strip().replace("-", " "))
+        toks = t.split()
+    return [t for t in toks if t not in _PTB_REMOVE]
 
 
 def _ngrams(tokens: Sequence[str], n: int):

@@ -498,26 +498,36 @@ class CaptionTTA:
         """OPT ids [K, L] -> texts + (opt tokens+mask padded, clip tokens).
 
         Tokens pad to the group's longest caption rounded UP to a 32-token
-        bucket (capped at ``token_pad_len``): the CE update's fwd+bwd cost is
-        linear in the padded length, and real captions retokenize far below
-        the 4x worst-case budget. Exactness: per-sample CE masks positions
-        past the longest caption and divides by that longest length (see
-        ``caption_ce``), so any pad >= longest yields the identical loss —
-        bucketing only bounds the set of compiled update-step shapes.
+        bucket (``token_pad_len`` pre-sizes the bucket but never truncates:
+        a longer caption grows the bucket and compiles one more update-step
+        shape): the CE update's fwd+bwd cost is linear in the padded length,
+        and real captions retokenize far below the 4x worst-case budget.
+        Exactness: per-sample CE masks positions past the longest caption and
+        divides by that longest length (see ``caption_ce``), so any pad >=
+        longest yields the identical loss — bucketing only bounds the set of
+        compiled update-step shapes.
         """
         texts = self.tok.batch_decode(seqs_np, stop_id=self.ccfg.opt.eos_newline_id)
         opt_tokens, opt_mask, lengths = self.tok.batch_encode(texts, return_lengths=True)
         longest = max(lengths, default=0)
+        bucket = max(32, -(-opt_tokens.shape[1] // 32) * 32)
         if longest > self.token_pad_len:
+            # NEVER truncate — the reference computes CE on the full caption
+            # (pads to longest, `capdec_tta.py:111-119`). Grow past the
+            # configured bucket cap instead; the only cost is compiling one
+            # more update-step shape for this (rare) longer bucket.
             import warnings
 
             warnings.warn(
                 f"re-tokenized caption length {longest} exceeds token_pad_len "
-                f"{self.token_pad_len}; CE is computed on a truncated caption "
-                "(reference pads to longest) — raise token_pad_len",
+                f"{self.token_pad_len}; padding up to a {bucket}-token bucket "
+                "(one extra compiled update-step shape) — raise token_pad_len "
+                "to pre-size the bucket",
                 RuntimeWarning,
             )
-        pad_to = min(self.token_pad_len, max(32, -(-opt_tokens.shape[1] // 32) * 32))
+            pad_to = bucket
+        else:
+            pad_to = min(self.token_pad_len, bucket)
         if opt_tokens.shape[1] < pad_to:
             fill = ((0, 0), (0, pad_to - opt_tokens.shape[1]))
             opt_tokens = np.pad(opt_tokens, fill, constant_values=self.tok.pad_id)

@@ -371,6 +371,40 @@ def test_decode_retokenize_pads_to_32_bucket(tiny_caption, tiny_gpt2_tok):
     assert toks_small.shape[1] == 10 and mask_small.shape[1] == 10
 
 
+def test_long_caption_never_truncates(tiny_caption, tiny_gpt2_tok):
+    """A retokenized caption longer than token_pad_len must round-trip
+    UNCLIPPED: the bucket grows past the configured cap (one extra compiled
+    update-step shape) with a warning — the reference pads to longest and
+    never computes CE on a truncated caption (`capdec_tta.py:111-119`)."""
+    import warnings
+
+    params, ccfg = tiny_caption
+    rcfg = C.ClipConfig("tiny-reward", 16, 32, 1, 32, 16, 32, 1, vision_heads_override=2, text_heads_override=2)
+    reward = ClipReward(C.init_clip_params(jax.random.PRNGKey(1), rcfg), rcfg, RewardConfig(sample_k=3))
+    tta = Cap.CaptionTTA(
+        params, ccfg, reward, tiny_gpt2_tok, tta_steps=1, lr=1e-3, sample_k=3, max_new_tokens=6,
+        token_pad_len=10,
+    )
+    tok = tiny_gpt2_tok
+    long_text = "a very long winded caption about a dog " * 3  # ~60+ byte tokens
+    ids = tok.encode(long_text)
+    assert len(ids) >= 60
+    seqs = np.full((2, len(ids) + 2), tok.pad_id, np.int32)
+    seqs[0, : len(ids)] = ids
+    seqs[1, :3] = tok.encode("cat")[:3]
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        texts, opt_tokens, opt_mask, _ = tta._decode_and_retokenize(seqs)
+    assert any("exceeds token_pad_len" in str(w.message) for w in rec)
+    longest = int(opt_mask.sum(axis=-1).max())
+    assert longest >= 60  # nothing was clipped
+    assert opt_tokens.shape[1] >= longest
+    assert opt_tokens.shape[1] % 32 == 0  # grown to the covering 32-bucket
+    # the long caption's ids survive intact under its mask
+    row = np.asarray(opt_tokens)[0][np.asarray(opt_mask)[0] == 1]
+    np.testing.assert_array_equal(row, tok.encode(texts[0]))
+
+
 def test_caption_ce_invariant_to_pad_past_longest(tiny_caption):
     """Any pad length >= the group's longest caption yields the identical
     per-sample CE (the masked-mean divides by the batch-longest length and

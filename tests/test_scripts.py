@@ -91,3 +91,50 @@ def test_retrieval_kd_loss_smoke(tmp_path):
          "--output", str(tmp_path)]
     )
     assert set(r) >= {"txt_r1", "img_r1", "r_mean"}
+
+
+RUNBOOK = os.path.join(SCRIPTS_DIR, "..", "RUNBOOK.md")
+
+
+def _runbook_invocations():
+    """Every ``python -m rlcf_tpu.cli.X`` line in RUNBOOK.md, with shell vars
+    ($DATA/$CKPT/...) replaced by dummy paths."""
+    with open(RUNBOOK) as fh:
+        text = fh.read()
+    return list(_extract_cli_invocations(text))
+
+
+def test_runbook_has_cli_commands():
+    assert len(_runbook_invocations()) >= 1  # at least the zero-shot gate
+
+
+@pytest.mark.parametrize(
+    "module,argv",
+    _runbook_invocations(),
+    ids=[m.rsplit(".", 1)[-1] for m, _ in _runbook_invocations()],
+)
+def test_runbook_commands_dry_run(module, argv, capsys, tmp_path):
+    """The RUNBOOK pre-flight: every RUNBOOK command line must survive
+    --dry_run END TO END (not just parse) — full flag resolution and the
+    CLI's own cheap arg fixups, no checkpoints or data touched."""
+    mod = importlib.import_module(module)
+    argv = [a for a in argv] + ["--dry_run", "--output", str(tmp_path / "out")]
+    assert mod.main(argv) is None
+    assert "DRY RUN OK" in capsys.readouterr().out
+
+
+@pytest.mark.parametrize("script", SCRIPTS, ids=[os.path.basename(s) for s in SCRIPTS])
+def test_script_commands_dry_run(script, capsys, tmp_path):
+    """Every experiment script's CLI invocation survives --dry_run end to
+    end — together with the RUNBOOK commands this covers the full first-
+    connected-run command surface (RUNBOOK §4 steps 1-7)."""
+    with open(script) as fh:
+        invocations = list(_extract_cli_invocations(fh.read()))
+    assert invocations
+    for module, argv in invocations:
+        mod = importlib.import_module(module)
+        extra = ["--dry_run"]
+        if "--output" in " ".join(argv) or module.endswith(("tta_cls", "tune_cls", "tta_retrieval", "tta_caption", "train_caption")):
+            extra += ["--output", str(tmp_path / "out")]
+        assert mod.main(list(argv) + extra) is None
+        assert "DRY RUN OK" in capsys.readouterr().out

@@ -45,7 +45,9 @@ def _short_error(e: BaseException, limit: int = 300) -> str:
     """One-line failure summary. OOM dumps are multi-KB buffer tables that
     drown the perf JSON (VERDICT r4 weak #4) — keep only the headline
     'Used X of Y hbm' line when present, else the first line, truncated."""
-    text = f"{type(e).__name__}: {e}"
+    import re
+
+    text = re.sub(r"\x1b\[[0-9;]*m", "", f"{type(e).__name__}: {e}")  # strip ANSI
     for line in text.splitlines():
         if "hbm" in line.lower() and "used" in line.lower():
             return line.strip()[:limit]
@@ -388,7 +390,7 @@ def _byte_level_tokenizer():
     return Gpt2Tokenizer(os.path.join(d, "vocab.json"), os.path.join(d, "merges.txt"))
 
 
-def bench_caption_tta(quick=False, group=None, quantize_decode=False, seg_len=None):
+def bench_caption_tta(quick=False, group=None, quantize_decode=False, seg_len=16):
     import jax
     import jax.numpy as jnp
     from rlcf_tpu.models import clip as C
@@ -400,10 +402,11 @@ def bench_caption_tta(quick=False, group=None, quantize_decode=False, seg_len=No
         V5E_BF16_PEAK, text_tower_flops, transformer_decode_flops, vit_tower_flops,
     )
 
-    # group 8: each decode step streams the full OPT weights, so images per
-    # batch amortize the dominant cost (the CLI equivalent: --episode_group 8);
-    # override with --caption_group for the knee sweep
-    group = group or (2 if quick else 8)
+    # group 16: each decode step streams the full OPT weights, so images per
+    # batch amortize the dominant cost (the CLI equivalent: --episode_group
+    # 16); measured knee on v5e 16G — 24 OOMs, 8 is ~30% slower. Override
+    # with --caption_group for the knee sweep.
+    group = group or (2 if quick else 16)
     steps, sample_k, max_new = (2, 3, 16) if quick else (4, 6, 50)
     rcfg_arch = C.get_config("ViT-B/16" if quick else "ViT-L/14")
     rparams = jax.jit(lambda k: C.init_clip_params(k, rcfg_arch, dtype=jnp.bfloat16))(jax.random.PRNGKey(1))
@@ -478,9 +481,18 @@ def main(argv=None):
             **bench_caption_tta(args.quick, group=args.caption_group, quantize_decode=True),
             "pipeline": "caption_tta_int8",
         },
-        "caption_tta_seg16": lambda: {
-            **bench_caption_tta(args.quick, group=args.caption_group, seg_len=16),
-            "pipeline": "caption_tta_seg16",
+        "caption_tta_seg0": lambda: {  # seg-cache ablation (pre-r5 default)
+            **bench_caption_tta(args.quick, group=args.caption_group, seg_len=None),
+            "pipeline": "caption_tta_seg0",
+        },
+        "caption_tta_seg8": lambda: {
+            **bench_caption_tta(args.quick, group=args.caption_group, seg_len=8),
+            "pipeline": "caption_tta_seg8",
+        },
+        "caption_tta_int8_seg16": lambda: {  # == int8 on the seg16 default
+            **bench_caption_tta(args.quick, group=args.caption_group,
+                                quantize_decode=True, seg_len=16),
+            "pipeline": "caption_tta_int8_seg16",
         },
         "retrieval_tp_ab": lambda: bench_retrieval_tp_ab(args.quick),
         "encoder_tta_save_attn": lambda: {
@@ -492,7 +504,9 @@ def main(argv=None):
         benches.pop("retrieval_tp_ab")
         benches.pop("encoder_tta_save_attn")
         benches.pop("caption_tta_int8")
-        benches.pop("caption_tta_seg16")
+        benches.pop("caption_tta_seg0")
+        benches.pop("caption_tta_seg8")
+        benches.pop("caption_tta_int8_seg16")
     if args.only:
         keep = set(args.only.split(","))
         unknown = keep - benches.keys()

@@ -62,6 +62,18 @@ BOUNDS = {  # |own - pycoco| allowances when the reference backend runs
 }
 
 
+def _tokenization_identical(M, refs, cands) -> bool:
+    """True iff pycocoevalcap's Java PTBTokenizer emits exactly the tokens
+    ptb_tokenize does for every golden caption and reference."""
+    from pycocoevalcap.tokenizer.ptbtokenizer import PTBTokenizer
+
+    texts = list(cands) + [r for rs in refs for r in rs]
+    caps = {str(i): [{"caption": t}] for i, t in enumerate(texts)}
+    java = PTBTokenizer().tokenize(caps)
+    return all(java[str(i)][0].split() == M.ptb_tokenize(t)
+               for i, t in enumerate(texts))
+
+
 def main():
     from rlcf_tpu.metrics import caption_metrics as M
 
@@ -86,6 +98,11 @@ def main():
                 "cider": abs(own["cider"] - py["cider"]),
                 "meteor": abs(own["meteor"] - py["meteor"]),
             }
+            # Token-level A/B: run the reference's Java PTBTokenizer on the
+            # golden set and compare with ptb_tokenize. When identical, the
+            # n-gram scorers compute the same math and BLEU/ROUGE/CIDEr must
+            # agree to float rounding — the test asserts EQUALITY, not bounds.
+            record["tokenization_identical"] = _tokenization_identical(M, refs, cands)
         except Exception as e:
             record["pycoco_error"] = str(e)
     out = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures",
