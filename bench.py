@@ -210,9 +210,38 @@ def main():
     # loop knows what a fallback actually costs on this platform
     t0 = time.time()
     if backend == "fused":
-        toks = make_tokens_fused(0)
-        logits, _ = clf.adapt_tokens(*toks) if isinstance(toks, tuple) else clf.adapt_tokens(toks)
-        np.asarray(logits)
+        # Single-dispatch production path: viewgen + prepare + episodes in ONE
+        # jitted program, RNG seed carried on device (each eager PRNGKey+split
+        # plus the extra dispatches cost ~8 ms/img of tunnel round-trips at
+        # group 4 — the r4 episode-vs-end-to-end gap).
+        imgs_planar_src = jnp.asarray(np.ascontiguousarray(imgs.transpose(0, 3, 1, 2)))
+        adapt_src = adapt_scan = imgs_all_dev = None
+        try:
+            # Scanned macro-batch: ALL iters groups (distinct images) in ONE
+            # dispatch — per-call host work (pytree flatten of two CLIP towers
+            # + tunnel dispatch, ~35 ms/group measured) amortizes to zero and
+            # steady state reads the episode roofline.
+            adapt_scan = clf.adapt_sources_scan_fn(n_views=n_views, src_size=256, resolution=224)
+            imgs_all_dev = jnp.asarray(
+                rng.integers(0, 256, (iters, group, 3, 256, 256), dtype=np.uint8))
+            logits, _, seed_dev = adapt_scan(imgs_all_dev, 0)
+            np.asarray(logits)
+        except Exception as e:  # scan-path regression: degrade to the
+            # single-dispatch-per-group path, then to the 3-dispatch token path
+            print(f"# adapt_sources_scan_fn failed ({type(e).__name__}: {e}); "
+                  "using the per-group single-dispatch path", file=sys.stderr)
+            adapt_scan = None
+            try:
+                adapt_src = clf.adapt_sources_fn(n_views=n_views, src_size=256, resolution=224)
+                logits, _, seed_dev = adapt_src(imgs_planar_src, 0)
+                np.asarray(logits)
+            except Exception as e2:
+                print(f"# adapt_sources_fn failed ({type(e2).__name__}: {e2}); "
+                      "using the 3-dispatch token path", file=sys.stderr)
+                adapt_src = None
+                toks = make_tokens_fused(0)
+                logits, _ = clf.adapt_tokens(*toks) if isinstance(toks, tuple) else clf.adapt_tokens(toks)
+                np.asarray(logits)
         t_dev_group = None
     else:
         views = make_views_device(0)
@@ -283,9 +312,22 @@ def main():
     done = 0
     host_groups = dev_groups = 0
     logits = None
-    if backend == "fused":
-        # whole pipeline is device-resident: fused viewgen feeds episodes
-        # back-to-back under async dispatch; the host only samples RNG keys
+    if backend == "fused" and adapt_scan is not None:
+        # ONE dispatch for the whole steady run: lax.scan over iters groups of
+        # distinct images, viewgen+prepare+episodes fused, seed chained inside
+        logits, _, seed_dev = adapt_scan(imgs_all_dev, seed_dev)
+        logits = logits[-1]
+        done += iters * group
+        dev_groups += iters
+    elif backend == "fused" and adapt_src is not None:
+        # whole pipeline is device-resident AND single-dispatch: one jitted
+        # call per group, seed chained on device (dependent dispatches are
+        # ~1 ms; host-made keys are ~90 ms of synchronous tunnel RTTs)
+        for i in range(iters):
+            logits, _, seed_dev = adapt_src(imgs_planar_src, seed_dev)
+            done += group
+            dev_groups += 1
+    elif backend == "fused":
         for i in range(iters):
             toks = make_tokens_fused(i + 1)
             logits, _ = clf.adapt_tokens(*toks) if isinstance(toks, tuple) else clf.adapt_tokens(toks)

@@ -13,8 +13,11 @@ compiled once and vmapped over the test stream. Weight/optimizer "reset"
 step 0 are all-zeros, identical semantics).
 
 Scheduling matches the reference exactly:
-- step 0 shares one policy forward between confidence selection and the first
-  gradient (done here with jax.vjp and a masked cotangent);
+- step 0 either shares one policy forward between confidence selection and
+  the first gradient (jax.vjp + masked cotangent; used when selection keeps
+  every view or the caller's policy_logits cost is idx-independent) or
+  recomputes the forward on the selected subset (cheaper whenever the cost
+  scales with the view count and S < 2B/3 — encoder TTA); identical math;
 - the frozen reward tower encodes only the selected views, once per episode;
 - the reward similarity matrix is fixed thereafter; per-step reward lookup is
   a gather, so each TTA step costs one policy forward+backward only.
@@ -90,6 +93,7 @@ def make_tta_episode(
     predict_batched: bool = False,
     teacher_scale=None,
     return_adapted: bool = False,
+    step0_reuse: Optional[bool] = None,
 ):
     """Build the generic episode function.
 
@@ -114,8 +118,26 @@ def make_tta_episode(
         n_keep = max(1, int(B * ecfg.selection_p))
         all_idx = jnp.arange(B)
 
-        f = lambda t: policy_logits(t, cache, all_idx)
-        logits_all, f_vjp = jax.vjp(f, trainable0)
+        # Step-0 strategy. When selection keeps every view (retrieval:
+        # selection_p=1), reuse the selection forward's linearization for the
+        # step-0 gradient (masked-cotangent VJP — no recompute). When it keeps
+        # a small subset S << B AND policy_logits costs ~len(idx) (encoder
+        # TTA: the differentiated visual tower), that VJP backprops a mostly-
+        # zero cotangent through the FULL B-view tower — 2x fwd(B) of
+        # backward for grads only S rows contribute to. Recomputing the
+        # forward on the S selected views instead costs 3x fwd(S) total
+        # (identical math: same params, same inputs), 64->6 views a ~2x
+        # episode-FLOP cut, and the B-view selection forward keeps no
+        # residuals at all (less live memory, less remat pressure).
+        # ``step0_reuse`` overrides the heuristic for callers whose
+        # policy_logits cost does NOT scale with len(idx) (CoCoOp: the text
+        # tower re-runs fully either way, so reuse is strictly cheaper).
+        reuse_vjp = n_keep >= B if step0_reuse is None else step0_reuse
+        if reuse_vjp:
+            f = lambda t: policy_logits(t, cache, all_idx)
+            logits_all, f_vjp = jax.vjp(f, trainable0)
+        else:
+            logits_all = policy_logits(trainable0, cache, all_idx)
         ent = Lo.entropy_per_sample(logits_all)
         sel = Lo.select_confident_entropy(ent, n_keep)  # lowest-entropy view indices [S]
 
@@ -133,13 +155,6 @@ def make_tta_episode(
                 aux0["adapted"] = trainable0
             return policy_logits(trainable0, cache, pred_idx), aux0
 
-        # Step 0: reuse the selection forward via a masked-cotangent VJP.
-        loss0, d_sel = jax.value_and_grad(loss_from_sel)(logits_all[sel])
-        d_all = jnp.zeros_like(logits_all).at[sel].set(d_sel)
-        (g0,) = f_vjp(d_all)
-        updates, opt_state = opt.update(g0, opt_state0, trainable0)
-        trainable = optax.apply_updates(trainable0, updates)
-
         def later_step(carry, _):
             t, s = carry
             loss, g = jax.value_and_grad(lambda tt: loss_from_sel(policy_logits(tt, cache, sel)))(t)
@@ -147,10 +162,23 @@ def make_tta_episode(
             t = optax.apply_updates(t, upd)
             return (t, s), loss
 
-        (trainable, _), later_losses = jax.lax.scan(
-            later_step, (trainable, opt_state), None, length=ecfg.tta_steps - 1
-        )
-        losses = jnp.concatenate([loss0[None], later_losses])
+        if reuse_vjp:
+            # Step 0: reuse the selection forward via a masked-cotangent VJP.
+            loss0, d_sel = jax.value_and_grad(loss_from_sel)(logits_all[sel])
+            d_all = jnp.zeros_like(logits_all).at[sel].set(d_sel)
+            (g0,) = f_vjp(d_all)
+            updates, opt_state = opt.update(g0, opt_state0, trainable0)
+            trainable = optax.apply_updates(trainable0, updates)
+            (trainable, _), later_losses = jax.lax.scan(
+                later_step, (trainable, opt_state), None, length=ecfg.tta_steps - 1
+            )
+            losses = jnp.concatenate([loss0[None], later_losses])
+        else:
+            # Step 0 recomputes the forward on the selected views (3x fwd(S)
+            # beats 2x fwd(B) of masked backward whenever S < 2B/3).
+            (trainable, _), losses = jax.lax.scan(
+                later_step, (trainable0, opt_state0), None, length=ecfg.tta_steps
+            )
 
         aux = {"losses": losses, "selected": sel}
         if return_adapted:

@@ -131,6 +131,71 @@ def test_adapt_tokens_matches_image_path(setup):
     np.testing.assert_allclose(np.asarray(lg_tok), np.asarray(lg_img), rtol=2e-4, atol=2e-4)
 
 
+def test_adapt_sources_single_dispatch_matches_token_path(setup):
+    """adapt_sources_fn (one jitted program: viewgen+prepare+episodes, seed
+    derived in-graph) == fused_views + adapt_tokens with the same keys."""
+    policy_params, policy_cfg, reward = setup
+    from rlcf_tpu.ops.pallas_augmix import fused_views
+
+    ecfg = EpisodeConfig(tta_steps=2, selection_p=0.25, lr=5e-3, sample_k=2)
+    clf = PromptTTAClassifier(policy_params, policy_cfg, reward, ecfg).setup(CLASSNAMES)
+    rng = np.random.default_rng(13)
+    srcs = rng.integers(0, 256, size=(2, 3, 48, 48), dtype=np.uint8)  # planar u8
+
+    run = clf.adapt_sources_fn(n_views=8, src_size=48, resolution=32, interpret=True)
+    lg_one, losses_one, seed1 = run(jnp.asarray(srcs), 0)
+    assert int(seed1) == 1
+
+    keys = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(0), 0), 2)
+    ptoks, rtoks = fused_views(
+        jnp.asarray(srcs), keys, n_views=8, src_size=48, resolution=32,
+        p_policy=policy_cfg.vision_patch_size, p_reward=reward.cfg.vision_patch_size,
+        interpret=True,
+    )
+    lg_tok, _ = clf.adapt_tokens(ptoks, rtoks)
+    np.testing.assert_allclose(np.asarray(lg_one), np.asarray(lg_tok), rtol=2e-4, atol=2e-4)
+
+    # carried seed advances the RNG stream: different views for the next
+    # group. Assert on the TPT entropy loss (the RLCF loss can be exactly 0
+    # on tiny random towers — clipped rewards — and the final prediction
+    # rides view 0, the deterministic center crop, hiding seed changes).
+    tpt = PromptTTAClassifier(
+        policy_params, policy_cfg, reward,
+        EpisodeConfig(tta_steps=2, selection_p=0.25, lr=5e-2, sample_k=2, loss="tpt"),
+    ).setup(CLASSNAMES)
+    run_tpt = tpt.adapt_sources_fn(n_views=8, src_size=48, resolution=32, interpret=True)
+    lg_a, losses_a, seed_a = run_tpt(jnp.asarray(srcs), 0)
+    lg_b, losses_b, seed_b = run_tpt(jnp.asarray(srcs), seed_a)
+    assert (int(seed_a), int(seed_b)) == (1, 2)
+    assert not np.allclose(np.asarray(losses_b), np.asarray(losses_a))
+    assert not np.allclose(np.asarray(lg_b), np.asarray(lg_a))
+
+
+def test_adapt_sources_scan_matches_chained_singles(setup):
+    """adapt_sources_scan_fn over G groups == G chained adapt_sources_fn calls
+    (identical per-group RNG stream: group g uses seed+g)."""
+    policy_params, policy_cfg, reward = setup
+    ecfg = EpisodeConfig(tta_steps=2, selection_p=0.25, lr=5e-3, sample_k=2)
+    clf = PromptTTAClassifier(policy_params, policy_cfg, reward, ecfg).setup(CLASSNAMES)
+    rng = np.random.default_rng(7)
+    srcs = rng.integers(0, 256, size=(3, 2, 3, 48, 48), dtype=np.uint8)  # [G=3, N=2]
+
+    run_scan = clf.adapt_sources_scan_fn(n_views=8, src_size=48, resolution=32, interpret=True)
+    lg_scan, losses_scan, seed_end = run_scan(jnp.asarray(srcs), 0)
+    assert int(seed_end) == 3
+    assert lg_scan.shape[:2] == (3, 2)
+
+    run_one = clf.adapt_sources_fn(n_views=8, src_size=48, resolution=32, interpret=True)
+    seed = 0
+    for g in range(3):
+        lg_g, losses_g, seed = run_one(jnp.asarray(srcs[g]), seed)
+        np.testing.assert_allclose(np.asarray(lg_scan[g]), np.asarray(lg_g), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(losses_scan[g]), np.asarray(losses_g), rtol=2e-4, atol=2e-4
+        )
+    assert int(seed) == 3
+
+
 def test_adapt_tokens_depatchify_reward_matches(setup):
     """Single-buffer token mode (reward via on-device depatchify) == image path."""
     policy_params, policy_cfg, reward = setup

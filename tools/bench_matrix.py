@@ -133,11 +133,12 @@ def bench_encoder_tta(quick=False, remat=True):
     sec = _median_time(run, lambda o: np.asarray(o[0]), iters=3)
 
     n_keep = max(1, int(n_views * ecfg.selection_p))
-    # step 0: fwd over all views + vjp bwd (2x fwd); steps 1..: fwd+bwd on the
-    # n_keep selection; final prediction fwd on view 0; reward fwd on n_keep
+    # selection fwd over all views (no residuals kept); every step fwd+bwd on
+    # the n_keep recompute (bwd ~ 2x fwd; core/episode.py step-0 strategy);
+    # final prediction fwd on view 0; reward fwd on n_keep
     fl = (
-        3 * vit_tower_flops(pcfg, n_views, 224)
-        + (steps - 1) * 3 * vit_tower_flops(pcfg, n_keep, 224)
+        vit_tower_flops(pcfg, n_views, 224)
+        + steps * 3 * vit_tower_flops(pcfg, n_keep, 224)
         + vit_tower_flops(pcfg, 1, 224)
         + vit_tower_flops(rcfg, n_keep, 224)
     )
