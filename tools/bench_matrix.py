@@ -500,10 +500,19 @@ def main(argv=None):
             **bench_encoder_tta(args.quick, remat="save_attn"),
             "pipeline": "encoder_tta_save_attn",
         },
+        "encoder_tta_noremat": lambda: {
+            # with the step-0 recompute strategy the backward only touches the
+            # S selected views (S=6 at the reference config) — activations fit
+            # without checkpointing, and skipping remat saves the per-step
+            # recompute forward (3x fwd(S) per step instead of 4x)
+            **bench_encoder_tta(args.quick, remat=False),
+            "pipeline": "encoder_tta_noremat",
+        },
     }
     if not args.only:
         benches.pop("retrieval_tp_ab")
         benches.pop("encoder_tta_save_attn")
+        benches.pop("encoder_tta_noremat")
         benches.pop("caption_tta_int8")
         benches.pop("caption_tta_seg0")
         benches.pop("caption_tta_seg8")
