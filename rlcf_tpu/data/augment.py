@@ -358,7 +358,11 @@ def generate_views(
         op_idx = jax.random.randint(k_ops, (N_CHAINS, MAX_CHAIN_DEPTH, V), 0, N_AUGMIX_OPS)
         u_level = jax.random.uniform(k_lv, (N_CHAINS, MAX_CHAIN_DEPTH, V))
         u_sign = jax.random.uniform(k_sg, (N_CHAINS, MAX_CHAIN_DEPTH, V))
-        w = jax.random.dirichlet(k_w, jnp.ones((N_CHAINS,)), shape=(V,))  # [V, 3]
+        # Dirichlet(1,..,1) == normalized exponentials — identical distribution
+        # to jax.random.dirichlet but no rejection-sampling while_loop (which
+        # reads ~ms on VPU-weak parts); stream shared with the fused kernel
+        e = jax.random.exponential(k_w, (V, N_CHAINS))
+        w = e / jnp.sum(e, axis=-1, keepdims=True)  # [V, 3]
         m = jax.random.uniform(k_m, (V,))
 
         mix = jnp.zeros_like(x_orig)

@@ -81,7 +81,11 @@ def sample_view_params(rng, n_views: int, src_size: int, resolution: int,
     op_idx = jax.random.randint(k_ops, (N_CHAINS, MAX_CHAIN_DEPTH, V), 0, N_AUGMIX_OPS)
     u_level = jax.random.uniform(k_lv, (N_CHAINS, MAX_CHAIN_DEPTH, V))
     u_sign = jax.random.uniform(k_sg, (N_CHAINS, MAX_CHAIN_DEPTH, V))
-    wmix = jax.random.dirichlet(k_w, jnp.ones((N_CHAINS,)), shape=(V,))  # [V, 3]
+    # Dirichlet(1,..,1) as normalized exponentials (same distribution, no
+    # rejection while_loop) — MUST mirror data/augment.py:generate_views so
+    # the parameter streams stay bit-identical under a shared key
+    e_w = jax.random.exponential(k_w, (V, N_CHAINS))
+    wmix = e_w / jnp.sum(e_w, axis=-1, keepdims=True)  # [V, 3]
     m = jax.random.uniform(k_m, (V,))
 
     # derived per-step op parameters (`augmix_ops.py` level scalings)
