@@ -44,6 +44,7 @@ inside Mosaic kernels).
 from __future__ import annotations
 
 import functools
+import math
 
 
 import jax
@@ -55,6 +56,37 @@ from jax.experimental.pallas import tpu as pltpu
 from ..data.augment import _rrc_boxes, N_AUGMIX_OPS, N_CHAINS, MAX_CHAIN_DEPTH
 
 DEFAULT_MAX_SHIFT = 12
+
+
+def _op_shift_bounds(severity: float, R: int) -> tuple:
+    """Tight static tap windows (rot_alpha, rot_beta, shear, trans) for the
+    warp ops at this severity/resolution.
+
+    The sampled level never exceeds ``severity`` (`augmix_ops.py:30-37`:
+    level = 0.1 + u*(severity-0.1), u<1), which bounds every per-pixel shift:
+
+    - rotate decomposes into ShX(alpha)·ShY(beta)·ShX(alpha) with
+      |alpha| = tan(rad(floor(3s))/2), |beta| = sin(rad(floor(3s))), each
+      scaled by the center offset |r+0.5-R/2| <= R/2-0.5;
+    - shear: |0.03s·(coord+0.5)| <= 0.03s·(R-0.5);
+    - translate: floor(s·R/30) exactly (integer shift, no fractional tap).
+
+    A fractional shift x needs taps at floor(x) and floor(x)+1, so the
+    window is floor(bound)+1 — except integer translate, where bound taps
+    suffice. At severity 1 / R 224 this is (3, 6, 7, 7) versus the uniform
+    12 the kernel used before: half the warp taps, bit-identical output
+    (dropped taps carry zero weight). It also lifts the severity>=2 clamp
+    bug: translate reaches floor(2·224/30)=14 px, which a uniform window of
+    12 silently truncated.
+    """
+    deg = math.floor(3.0 * severity)
+    half = R / 2.0 - 0.5
+    rot_a = math.tan(math.radians(deg) / 2.0) * half
+    rot_b = math.sin(math.radians(deg)) * half
+    shear = 0.03 * severity * (R - 0.5)
+    trans = math.floor(severity * (R / 3.0) / 10.0)
+    frac = lambda x: int(math.floor(x)) + 1
+    return (frac(rot_a), frac(rot_b), frac(shear), int(trans))
 
 
 # ---------------------------------------------------------------------------
@@ -165,22 +197,28 @@ def _warp_pass(x, acc_ref, shift, axis: int, max_shift: int):
 
     ``shift`` broadcasts against [R, R]: per-row [R, 1] for axis=2, per-col
     [1, R] for axis=1. Contiguous STATIC rolls + per-tap vector weights;
-    black fill via bound masks. Each tap stores into the scratch ref so its
-    temporaries die at the store — Mosaic does not reuse stack slots across
-    an unrolled value chain (25 live [3,R,R] taps blew the VMEM limit), and
-    dynamic roll amounts (fori_loop taps) don't lower at all.
+    black fill via bound masks. Taps accumulate in value chunks of 5 and
+    store per chunk: one long unrolled value chain keeps every tap live
+    (Mosaic does not reuse stack slots — 25 live [3,R,R] taps blew the VMEM
+    limit), while a store per tap pays a full acc read-modify-write each
+    tap. Dynamic roll amounts (fori_loop taps) don't lower at all.
     """
     R = x.shape[axis]
     d0 = jnp.floor(shift)
     f = (shift - d0)[None]                                   # [1, ., .]
     d = jnp.clip(d0, -max_shift, max_shift).astype(jnp.int32)[None]
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, x.shape[1], x.shape[2]), axis)
-    acc_ref[:] = jnp.zeros_like(acc_ref)
-    for t in range(-max_shift, max_shift + 1):
-        w = jnp.where(d == t, 1.0 - f, 0.0) + jnp.where(d == t - 1, f, 0.0)
-        srcpos = pos + t
-        w = jnp.where((srcpos >= 0) & (srcpos < R), w, 0.0)
-        acc_ref[:] = acc_ref[:] + w * pltpu.roll(x, (-t) % R, axis=axis)
+    taps = list(range(-max_shift, max_shift + 1))
+    CHUNK = 5
+    for c0 in range(0, len(taps), CHUNK):
+        part = None
+        for t in taps[c0:c0 + CHUNK]:
+            w = jnp.where(d == t, 1.0 - f, 0.0) + jnp.where(d == t - 1, f, 0.0)
+            srcpos = pos + t
+            w = jnp.where((srcpos >= 0) & (srcpos < R), w, 0.0)
+            term = w * pltpu.roll(x, (-t) % R, axis=axis)
+            part = term if part is None else part + term
+        acc_ref[:] = part if c0 == 0 else acc_ref[:] + part
 
 
 def _equalize_plane(x):
@@ -190,14 +228,20 @@ def _equalize_plane(x):
     contraction of the hi/lo one-hots; the cumulative-step LUT is built with
     16x16 triangular matmuls; the LUT gather is a second batched contraction.
     Matches `ops/image_ops.py::equalize` (same math, MXU-shaped).
+
+    Both batched contractions run with bf16 inputs at full MXU rate and are
+    still EXACT: the one-hots are 0/1, LUT entries are integers in [0, 255]
+    (all bf16-representable — 8 significand bits cover ints through 256),
+    and accumulation is f32 (preferred_element_type) with row sums < 2^24.
     """
     R = x.shape[0]
     f32 = jnp.float32
+    bf16 = jnp.bfloat16
     hi = jnp.floor(x * (1.0 / 16.0))
     lo = x - hi * 16.0
     i16 = jax.lax.broadcasted_iota(jnp.int32, (R, 16, R), 1).astype(f32)
-    A = (hi[:, None, :] == i16).astype(f32)                   # [r, 16, c]
-    B = (lo[:, None, :] == i16).astype(f32)
+    A = (hi[:, None, :] == i16).astype(bf16)                  # [r, 16, c]
+    B = (lo[:, None, :] == i16).astype(bf16)
     h3 = jax.lax.dot_general(A, B, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                              preferred_element_type=f32)      # [r, 16, 16]
     hist2d = jnp.sum(h3, axis=0)                              # [16, 16]
@@ -220,10 +264,10 @@ def _equalize_plane(x):
     lut2d = jnp.clip(jnp.floor((jnp.floor(step / 2.0) + cum) / jnp.maximum(step, 1.0)), 0.0, 255.0)
     lut2d = jnp.where((n_nonzero <= 1) | (step == 0), idxm, lut2d)
 
-    lutb = jnp.broadcast_to(lut2d[None], (R, 16, 16))
+    lutb = jnp.broadcast_to(lut2d.astype(bf16)[None], (R, 16, 16))
     C = jax.lax.dot_general(lutb, B, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=f32)       # [r, 16, c]
-    return jnp.sum(A * C, axis=1)                             # [R, R]
+    return jnp.sum(A.astype(f32) * C, axis=1)                 # [R, R]
 
 
 # ---------------------------------------------------------------------------
@@ -235,7 +279,7 @@ def _augmix_kernel(rrc, flip, depth, ops, p0, p1, ip0, wm, m,       # SMEM scala
                    src_ref, basew_ref,                              # VMEM in
                    out_ref,                                         # VMEM out
                    wy_s, wx_s, xorig_s, xaug_s, mix_s, tmp_s,       # VMEM scratch
-                   *, R: int, S: int, V: int, max_shift: int):
+                   *, R: int, S: int, V: int, shifts: tuple):
     n, v = pl.program_id(0), pl.program_id(1)
     idx = n * V + v
     cxy = R / 2.0
@@ -269,7 +313,7 @@ def _augmix_kernel(rrc, flip, depth, ops, p0, p1, ip0, wm, m,       # SMEM scala
             @pl.when(st < depth[idx, chain])
             def _(s=s):
                 _apply_op(ops[idx, s], p0[idx, s], p1[idx, s], ip0[idx, s],
-                          xaug_s, tmp_s, R, cxy, max_shift)
+                          xaug_s, tmp_s, R, cxy, shifts)
         mix_s[:] = mix_s[:] + wm[idx, chain] * xaug_s[:]
 
     mv = m[idx]
@@ -278,13 +322,16 @@ def _augmix_kernel(rrc, flip, depth, ops, p0, p1, ip0, wm, m,       # SMEM scala
     out_ref[0, 0] = jnp.clip(jnp.round(final), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
 
 
-def _apply_op(op, q0, q1, qi, xaug_s, tmp_s, R: int, cxy: float, max_shift: int):
+def _apply_op(op, q0, q1, qi, xaug_s, tmp_s, R: int, cxy: float, shifts: tuple):
     """One AugMix base op on the [3, R, R] scratch, dispatched by SMEM scalar.
 
     Ops: 0 autocontrast, 1 equalize, 2 posterize, 3 rotate (3 shears),
     4 solarize, 5/6 shear x/y, 7/8 translate x/y (`augmix_ops.py:142-145`).
-    Each op quantizes its output like PIL (round).
+    Each op quantizes its output like PIL (round). ``shifts`` is the static
+    (rot_alpha, rot_beta, shear, trans) tap-window tuple of
+    :func:`_op_shift_bounds` — each warp op unrolls only its own window.
     """
+    ms_ra, ms_rb, ms_sh, ms_tr = shifts
     rows = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).astype(jnp.float32)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1).astype(jnp.float32)
 
@@ -311,9 +358,9 @@ def _apply_op(op, q0, q1, qi, xaug_s, tmp_s, R: int, cxy: float, max_shift: int)
     @pl.when(op == 3)
     def _():
         # three center-anchored shear passes == the PIL sampling rotation
-        _warp_pass(xaug_s[:], tmp_s, q0 * (rows + 0.5 - cxy), axis=2, max_shift=max_shift)
-        _warp_pass(tmp_s[:], xaug_s, q1 * (cols + 0.5 - cxy), axis=1, max_shift=max_shift)
-        _warp_pass(xaug_s[:], tmp_s, q0 * (rows + 0.5 - cxy), axis=2, max_shift=max_shift)
+        _warp_pass(xaug_s[:], tmp_s, q0 * (rows + 0.5 - cxy), axis=2, max_shift=ms_ra)
+        _warp_pass(tmp_s[:], xaug_s, q1 * (cols + 0.5 - cxy), axis=1, max_shift=ms_rb)
+        _warp_pass(xaug_s[:], tmp_s, q0 * (rows + 0.5 - cxy), axis=2, max_shift=ms_ra)
         xaug_s[:] = jnp.round(tmp_s[:])
 
     @pl.when(op == 4)
@@ -323,24 +370,24 @@ def _apply_op(op, q0, q1, qi, xaug_s, tmp_s, R: int, cxy: float, max_shift: int)
 
     @pl.when(op == 5)
     def _():
-        _warp_pass(xaug_s[:], tmp_s, q0 * (rows + 0.5), axis=2, max_shift=max_shift)
+        _warp_pass(xaug_s[:], tmp_s, q0 * (rows + 0.5), axis=2, max_shift=ms_sh)
         xaug_s[:] = jnp.round(tmp_s[:])
 
     @pl.when(op == 6)
     def _():
-        _warp_pass(xaug_s[:], tmp_s, q0 * (cols + 0.5), axis=1, max_shift=max_shift)
+        _warp_pass(xaug_s[:], tmp_s, q0 * (cols + 0.5), axis=1, max_shift=ms_sh)
         xaug_s[:] = jnp.round(tmp_s[:])
 
     @pl.when(op == 7)
     def _():
         shift = rows * 0.0 + q0  # broadcast_to of an SMEM scalar crashes layout
-        _warp_pass(xaug_s[:], tmp_s, shift, axis=2, max_shift=max_shift)
+        _warp_pass(xaug_s[:], tmp_s, shift, axis=2, max_shift=ms_tr)
         xaug_s[:] = jnp.round(tmp_s[:])
 
     @pl.when(op == 8)
     def _():
         shift = cols * 0.0 + q0
-        _warp_pass(xaug_s[:], tmp_s, shift, axis=1, max_shift=max_shift)
+        _warp_pass(xaug_s[:], tmp_s, shift, axis=1, max_shift=ms_tr)
         xaug_s[:] = jnp.round(tmp_s[:])
 
 
@@ -350,15 +397,18 @@ def _apply_op(op, q0, q1, qi, xaug_s, tmp_s, R: int, cxy: float, max_shift: int)
 
 
 def _fused_call(images_planar, params, basew, *, R: int, S: int, V: int,
-                max_shift: int, interpret: bool):
+                max_shift: int = None, shifts: tuple = None, interpret: bool):
     """pallas_call plumbing: images [N, 3, S, S] u8 + packed params -> u8 views.
 
     ``params`` arrays carry leading dim N*V (see ``sample_view_params``).
     Exposed separately from the samplers so tests can inject fixed op
-    parameters (single-op exactness harness).
+    parameters (single-op exactness harness). Pass either per-op tap windows
+    (``shifts``, see :func:`_op_shift_bounds`) or a uniform ``max_shift``.
     """
+    if shifts is None:
+        shifts = (max_shift,) * 4
     N = images_planar.shape[0]
-    kernel = functools.partial(_augmix_kernel, R=R, S=S, V=V, max_shift=max_shift)
+    kernel = functools.partial(_augmix_kernel, R=R, S=S, V=V, shifts=shifts)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=9,
         grid=(N, V),
@@ -413,7 +463,7 @@ def patchify_planar_u8(views, patch_size: int):
 )
 def fused_views(images_planar, rngs, *, n_views: int, resolution: int = 224,
                 src_size: int = 256, augmix: bool = True, severity: float = 1.0,
-                crop_min: float = 0.08, max_shift: int = DEFAULT_MAX_SHIFT,
+                crop_min: float = 0.08, max_shift: int = None,
                 p_policy: int = 0, p_reward: int = 0, interpret: bool = False):
     """One jitted program: u8 sources -> all views, on device.
 
@@ -422,6 +472,11 @@ def fused_views(images_planar, rngs, *, n_views: int, resolution: int = 224,
     patch-major policy tokens (and reward tokens when ``p_reward > 0``) for
     ``adapt_tokens`` — matching `data.native.generate_views_native_patch_u8`'s
     contract.
+
+    ``max_shift=None`` (the default) derives tight per-op warp tap windows
+    from (severity, resolution) — bit-identical output, ~2x fewer taps at
+    severity 1, and correct above severity ~1.6 where the old uniform 12
+    clamped translate. An explicit ``max_shift`` forces a uniform window.
     """
     sample = functools.partial(
         sample_view_params, n_views=n_views, src_size=src_size,
@@ -430,6 +485,8 @@ def fused_views(images_planar, rngs, *, n_views: int, resolution: int = 224,
     params = jax.vmap(sample)(rngs)
     N = images_planar.shape[0]
     basew = _bicubic_matrix(src_size, resolution)
+    shifts = ((max_shift,) * 4 if max_shift is not None
+              else _op_shift_bounds(severity, resolution))
     # Scalar-prefetch arrays live in SMEM (~1 MB); at N*V rows they overflow
     # past ~4 images x 64 views, so launch the kernel in image chunks (the
     # calls pipeline under async dispatch — no wall-clock cost).
@@ -442,7 +499,7 @@ def fused_views(images_planar, rngs, *, n_views: int, resolution: int = 224,
         }
         outs.append(
             _fused_call(images_planar[s0:s0 + n], p_chunk, basew, R=resolution,
-                        S=src_size, V=n_views, max_shift=max_shift, interpret=interpret)
+                        S=src_size, V=n_views, shifts=shifts, interpret=interpret)
         )
     views = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     if p_policy == 0:

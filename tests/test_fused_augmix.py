@@ -42,7 +42,7 @@ def _denorm(nhwc):
     return (np.asarray(nhwc) * np.asarray(CLIP_STD) + np.asarray(CLIP_MEAN)) * 255.0
 
 
-def _run_single_op(img_hwc_u8, op: int, p0=0.0, p1=0.0, ip0=0):
+def _run_single_op(img_hwc_u8, op: int, p0=0.0, p1=0.0, ip0=0, shifts=None):
     """Apply exactly one AugMix op through the kernel (identity crop, m=0)."""
     planar = jnp.asarray(img_hwc_u8).transpose(2, 0, 1)[None]
     V = 1
@@ -65,7 +65,8 @@ def _run_single_op(img_hwc_u8, op: int, p0=0.0, p1=0.0, ip0=0):
     params = {k: jnp.concatenate([jnp.zeros_like(v[:1]), v], axis=0) for k, v in params.items()}
     params["m"] = params["m"].at[0].set(1.0)
     basew = _bicubic_matrix(S, R)
-    out = _fused_call(planar, params, basew, R=R, S=S, V=V2, max_shift=12, interpret=True)
+    out = _fused_call(planar, params, basew, R=R, S=S, V=V2, max_shift=12,
+                      shifts=shifts, interpret=True)
     return np.asarray(out)[0, 1].transpose(1, 2, 0).astype(np.float64)  # HWC
 
 
@@ -202,6 +203,40 @@ def test_token_outputs_consistent():
     ptoks, rtoks = fused_views(planar, rng[None], p_policy=16, p_reward=8, **kw)
     np.testing.assert_array_equal(np.asarray(patchify_planar_u8(views, 16)), np.asarray(ptoks))
     np.testing.assert_array_equal(np.asarray(patchify_planar_u8(views, 8)), np.asarray(rtoks))
+
+
+def test_derived_tap_windows_bit_identical_to_uniform():
+    """Default (severity-derived per-op tap windows) == explicit uniform
+    max_shift=12: the dropped taps carry zero weight, so the r5 fast path
+    must be bit-identical to the r2-r4 kernel on the same key."""
+    rng = jax.random.PRNGKey(21)
+    img = _img(size=96)
+    planar = img.transpose(2, 0, 1)[None]
+    kw = dict(n_views=8, resolution=64, src_size=96, augmix=True, interpret=True)
+    fast = fused_views(planar, rng[None], **kw)
+    uniform = fused_views(planar, rng[None], max_shift=12, **kw)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(uniform))
+
+
+def test_shift_bounds_cover_severity_2():
+    """severity>=2 translate reaches floor(2*224/30)=14 px; the old uniform
+    window of 12 silently clamped it. The derived windows must cover every
+    op's true maximum shift (`augmix_ops.py:30-53` level scalings)."""
+    from rlcf_tpu.ops.pallas_augmix import _op_shift_bounds
+
+    ra, rb, sh, tr = _op_shift_bounds(2.0, 224)
+    assert tr >= 14, tr                      # translate: floor(2*224/30)
+    assert sh >= 0.03 * 2.0 * 223.5, sh      # shear shift at the last row
+    assert rb >= np.sin(np.deg2rad(6)) * 111.5, rb
+    assert ra >= np.tan(np.deg2rad(6) / 2) * 111.5, ra
+
+    # max-magnitude translate through the derived (tight) window is exact
+    img = _smooth_img()
+    f = jnp.asarray(img).astype(jnp.float32)
+    s2_64 = _op_shift_bounds(2.0, 64)
+    got = _run_single_op(img, op=7, p0=float(s2_64[3]), shifts=s2_64)
+    want = np.asarray(jnp.round(image_ops.translate_x(f, float(s2_64[3]))))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_fused_views_sharded_matches_unsharded():
