@@ -179,14 +179,20 @@ def _bicubic_matrix(src: int, dst: int) -> jnp.ndarray:
 
 def _resize_weights(start, length, flip, R: int, S: int):
     """Triangle-kernel (antialiased bilinear) interpolation matrix [R, S]
-    from box scalars; ``flip`` reverses the output order (free HFlip)."""
+    from box scalars; ``flip`` reverses the output order (free HFlip).
+
+    Row terms build at [R, 1] and column terms at [1, S]; only the final
+    subtract/abs/max chain touches the full [R, S] plane. Per-element values
+    (and therefore outputs) are bit-identical to the all-[R, S] form, but
+    the VPU does ~5 full-plane passes instead of ~10 — this runs per view
+    inside the kernel, twice, so it is a few % of flagship end-to-end."""
     scale = length / R
-    o = jax.lax.broadcasted_iota(jnp.int32, (R, S), 0).astype(jnp.float32)
+    o = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).astype(jnp.float32)
     o = jnp.where(flip > 0, (R - 1) - o, o)
-    centers = start + (o + 0.5) * scale
-    src = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1).astype(jnp.float32) + 0.5
+    centers = start + (o + 0.5) * scale                       # [R, 1]
+    src = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1).astype(jnp.float32) + 0.5
     inv = 1.0 / jnp.maximum(scale, 1.0)
-    d = (src - centers) * inv
+    d = (src - centers) * inv                                 # [R, S]
     w = jnp.maximum(0.0, 1.0 - jnp.abs(d))
     return w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
 
@@ -278,17 +284,21 @@ def _equalize_plane(x):
 def _augmix_kernel(rrc, flip, depth, ops, p0, p1, ip0, wm, m,       # SMEM scalars
                    src_ref, basew_ref,                              # VMEM in
                    out_ref,                                         # VMEM out
-                   wy_s, wx_s, xorig_s, xaug_s, mix_s, tmp_s,       # VMEM scratch
+                   wy_s, wx_s, srcf_s, xorig_s, xaug_s, mix_s, tmp_s,  # VMEM scratch
                    *, R: int, S: int, V: int, shifts: tuple):
     n, v = pl.program_id(0), pl.program_id(1)
     idx = n * V + v
     cxy = R / 2.0
 
     # ---- 1. interpolation weights: bicubic base (v==0) or RRC triangle ----
+    # v==0 also converts the u8 source to f32 ONCE per image (grid steps run
+    # sequentially, scratch persists across them): u8 -> i32 -> f32 over
+    # [3, S, S] per view was ~11% of the kernel's vector work.
     @pl.when(v == 0)
     def _():
         wy_s[:] = basew_ref[:]
         wx_s[:] = basew_ref[:]
+        srcf_s[:] = src_ref[0].astype(jnp.int32).astype(jnp.float32)
 
     @pl.when(v > 0)
     def _():
@@ -297,9 +307,7 @@ def _augmix_kernel(rrc, flip, depth, ops, p0, p1, ip0, wm, m,       # SMEM scala
 
     # ---- 2. crop+resize as MXU matmuls, per channel -----------------------
     for c in range(3):
-        # u8 -> f32 must route through i32 (no direct Mosaic cast)
-        src_c = src_ref[0, c].astype(jnp.int32).astype(jnp.float32)
-        t = jnp.dot(wy_s[:], src_c, preferred_element_type=jnp.float32)
+        t = jnp.dot(wy_s[:], srcf_s[c], preferred_element_type=jnp.float32)
         xorig_s[c] = jnp.dot(t, wx_s[:].T, preferred_element_type=jnp.float32)
     xorig_s[:] = jnp.clip(jnp.round(xorig_s[:]), 0.0, 255.0)
 
@@ -422,6 +430,7 @@ def _fused_call(images_planar, params, basew, *, R: int, S: int, V: int,
         scratch_shapes=[
             pltpu.VMEM((R, S), jnp.float32),      # wy
             pltpu.VMEM((R, S), jnp.float32),      # wx
+            pltpu.VMEM((3, S, S), jnp.float32),   # f32 source (built at v==0)
             pltpu.VMEM((3, R, R), jnp.float32),   # xorig
             pltpu.VMEM((3, R, R), jnp.float32),   # xaug
             pltpu.VMEM((3, R, R), jnp.float32),   # mix

@@ -117,6 +117,9 @@ def forced_op(op):
 
 OPS = {"autocontrast": 0, "equalize": 1, "posterize": 2, "rotate": 3,
        "solarize": 4, "shear_x": 5, "translate_x": 7}
+if "--ops" not in __import__("sys").argv:
+    OPS = {}  # each op arm compiles its own scan program (~minutes on the
+    # remote compile service); opt in with --ops when the breakdown is needed
 for name, op in OPS.items():
     t = timeit(name, scanned(forced_op(op)), imgs, base=t_off)
     print(f"             {name} op cost: {(t - t_off)/group/3:.3f} ms/img per chain-step "
