@@ -33,6 +33,9 @@ def get_args(argv=None):
     common.add_decode_args(p)
     common.add_dry_run_arg(p)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--download_nltk", type=int, default=0,
+                   help="fetch the wordnet corpus (nltk.download) before scoring "
+                        "so METEOR runs exact/stem/synonym instead of degraded")
     return p.parse_args(argv)
 
 
@@ -75,6 +78,10 @@ def main(argv=None):
         references = {i: (r if isinstance(r, list) else [r]) for i, r in references.items()}
 
     out = evaluate_captions(params, cfg, candidates, images_iter, image_ids, references)
+    if args.download_nltk:
+        from ..metrics.caption_metrics import ensure_wordnet
+
+        print(f"METEOR mode after wordnet fetch: {ensure_wordnet()}")
     if references and args.compute_other_ref_metrics:
         refs = [references[i] for i in image_ids]
         cands = [candidates[i] for i in image_ids]

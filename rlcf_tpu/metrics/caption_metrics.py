@@ -14,9 +14,10 @@ Penn Treebank rules: contraction/possessive splitting, ``-LRB-`` bracket
 normalization, quote conversion) + the same punctuation-removal set —
 identical tokens on ordinary caption text; exotic unicode/URL inputs may
 still split differently. METEOR (a Java jar upstream) uses nltk's aligner:
-exact/stem/synonym stages with wordnet data, exact+stem without (install
-the corpus with ``python -m nltk.downloader wordnet`` on a connected
-machine; this dev environment has none) — the active variant is reported
+exact/stem/synonym stages with wordnet data, exact+stem without (fetch
+the corpus once with :func:`ensure_wordnet` / ``clipscore_eval
+--download_nltk 1`` on a connected machine; this dev environment has
+none) — the active variant is reported
 via ``meteor_mode()`` / the ``meteor_mode`` result field and a
 RuntimeWarning fires once when degraded.
 """
@@ -205,6 +206,21 @@ _METEOR_MODE: str | None = None
 _METEOR_WARNED = False
 
 
+def _probe_meteor_mode() -> str:
+    try:
+        from nltk.corpus import wordnet as wn
+
+        wn.synsets("dog")  # raises LookupError when corpus data missing
+        return "nltk_wordnet"
+    except Exception:
+        try:
+            import nltk.translate.meteor_score  # noqa: F401
+
+            return "exact+stem"
+        except Exception:
+            return "exact_approx"
+
+
 def meteor_mode() -> str:
     """Which METEOR variant this environment can compute.
 
@@ -216,18 +232,33 @@ def meteor_mode() -> str:
     """
     global _METEOR_MODE
     if _METEOR_MODE is None:
-        try:
-            from nltk.corpus import wordnet as wn
+        _METEOR_MODE = _probe_meteor_mode()
+    return _METEOR_MODE
 
-            wn.synsets("dog")  # raises LookupError when corpus data missing
-            _METEOR_MODE = "nltk_wordnet"
-        except Exception:
-            try:
-                import nltk.translate.meteor_score  # noqa: F401
 
-                _METEOR_MODE = "exact+stem"
-            except Exception:
-                _METEOR_MODE = "exact_approx"
+def ensure_wordnet(download: bool = True) -> str:
+    """Make the METEOR synonym stage available on a connected machine.
+
+    Re-probes the wordnet corpus and, when it is missing and ``download`` is
+    true, fetches it through ``nltk.download`` (same opt-in shape as the
+    checkpoint converter's ``--download``); returns the resulting
+    :func:`meteor_mode`. On a default *connected* install this upgrades the
+    scorer to exact/stem/synonym so ``meteor_mode`` is never degraded; in a
+    zero-egress environment the fetch fails quietly and the loud degraded-
+    mode warning still applies. Exposed on the CLI as
+    ``clipscore_eval --download_nltk`` and in the RUNBOOK pre-flight."""
+    global _METEOR_MODE
+    _METEOR_MODE = _probe_meteor_mode()
+    if _METEOR_MODE == "nltk_wordnet" or not download:
+        return _METEOR_MODE
+    try:
+        import nltk
+
+        for corpus in ("wordnet", "omw-1.4"):
+            nltk.download(corpus, quiet=True)
+    except Exception:
+        pass
+    _METEOR_MODE = _probe_meteor_mode()
     return _METEOR_MODE
 
 

@@ -187,3 +187,57 @@ def test_metric_backend_ab_fixture_pins_own_impl():
 
         _pytest.fail("pycocoevalcap importable but fixture has no deltas — "
                      "re-run tools/metric_backend_ab.py")
+
+
+def test_ensure_wordnet_fetches_and_reprobes(monkeypatch):
+    """ensure_wordnet downloads the wordnet corpora through nltk and re-probes
+    the METEOR mode, so a connected default install is never degraded
+    (VERDICT r4 item 6); zero-egress stays on the loud degraded path."""
+    import nltk
+
+    from rlcf_tpu.metrics import caption_metrics as cm
+
+    calls = []
+    monkeypatch.setattr(nltk, "download", lambda corpus, quiet=True: calls.append(corpus))
+    probes = iter(["exact+stem", "nltk_wordnet"])
+    monkeypatch.setattr(cm, "_probe_meteor_mode", lambda: next(probes))
+    try:
+        assert cm.ensure_wordnet() == "nltk_wordnet"
+        assert calls == ["wordnet", "omw-1.4"]
+    finally:
+        cm._METEOR_MODE = None  # drop the faked probe result
+
+
+def test_ensure_wordnet_respects_download_false(monkeypatch):
+    import nltk
+
+    from rlcf_tpu.metrics import caption_metrics as cm
+
+    monkeypatch.setattr(nltk, "download",
+                        lambda *a, **k: pytest.fail("download=False must not fetch"))
+    try:
+        assert cm.ensure_wordnet(download=False) == cm.meteor_mode()
+    finally:
+        cm._METEOR_MODE = None
+
+
+def test_ensure_wordnet_noop_when_installed(monkeypatch):
+    import nltk
+
+    from rlcf_tpu.metrics import caption_metrics as cm
+
+    monkeypatch.setattr(cm, "_probe_meteor_mode", lambda: "nltk_wordnet")
+    monkeypatch.setattr(nltk, "download",
+                        lambda *a, **k: pytest.fail("installed corpus must not re-fetch"))
+    try:
+        assert cm.ensure_wordnet() == "nltk_wordnet"
+    finally:
+        cm._METEOR_MODE = None
+
+
+def test_clipscore_eval_exposes_download_nltk_flag():
+    from rlcf_tpu.cli.clipscore_eval import get_args
+
+    args = get_args(["cands.json", "imgs", "--download_nltk", "1"])
+    assert args.download_nltk == 1
+    assert get_args(["cands.json", "imgs"]).download_nltk == 0
